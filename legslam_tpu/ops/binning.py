@@ -1,0 +1,108 @@
+"""Tile binning: depth ordering + (gaussian, tile) pair lists + tile ranges.
+
+TPU-native replacement for the reference's duplicateWithKeys + CUB radix
+sort + identifyTileRanges pipeline (cuda_rasterizer/rasterizer_impl.cu:
+70-138, 280-320). Instead of 64-bit [tile|depth] keys we:
+
+  1. sort gaussians once by view depth (stable argsort over P),
+  2. emit per-gaussian (tile, depth-rank) pairs over a static tile-span cap,
+     packed into a single int32 key = tile * P + rank (valid because
+     ntiles * P < 2^31 for our capacities; asserted),
+  3. sort the packed keys (invalid pairs get the sentinel ntiles * P and sink
+     to the end),
+  4. recover per-tile ranges with searchsorted.
+
+Within a tile, ascending key order == ascending depth order, matching the
+reference's sort semantics (rasterizer_impl.cu:98-109).
+
+getRect parity (auxiliary.h:45-57): rect_min = clamp(floor((p - r)/TILE)),
+rect_max = clamp(floor((p + r + TILE - 1)/TILE)); gaussians whose rect covers
+zero tiles are culled (forward.cu:241-243).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from legslam_tpu.config import RasterizeConfig
+from legslam_tpu.ops.projection import Preprocessed
+
+
+class TileRect(NamedTuple):
+    x0: jnp.ndarray
+    x1: jnp.ndarray
+    y0: jnp.ndarray
+    y1: jnp.ndarray
+
+
+def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray,
+              tile_w: int, tile_h: int, ntx: int, nty: int) -> TileRect:
+    px, py = mean2d[..., 0], mean2d[..., 1]
+    r = radius.astype(px.dtype)
+    x0 = jnp.clip(jnp.floor((px - r) / tile_w), 0, ntx).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((px + r + tile_w - 1) / tile_w), 0, ntx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((py - r) / tile_h), 0, nty).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((py + r + tile_h - 1) / tile_h), 0, nty).astype(jnp.int32)
+    return TileRect(x0, x1, y0, y1)
+
+
+class Binning(NamedTuple):
+    order: jnp.ndarray        # [P] gaussian ids in ascending depth
+    pair_gid: jnp.ndarray     # [NPAIR] gaussian id per sorted pair
+    tile_start: jnp.ndarray   # [ntiles] range start into pair arrays
+    tile_count: jnp.ndarray   # [ntiles] pairs per tile
+    num_rendered: jnp.ndarray # [] total valid pairs
+
+
+def bin_gaussians(pre: Preprocessed, width: int, height: int,
+                  cfg: RasterizeConfig) -> Binning:
+    P = pre.mean2d.shape[0]
+    ntx = -(-width // cfg.tile_w)
+    nty = -(-height // cfg.tile_h)
+    ntiles = ntx * nty
+    if ntiles * (P + 1) >= 2 ** 31:
+        raise ValueError(
+            f"packed binning key overflow: ntiles={ntiles} P={P}; "
+            "reduce capacity or enlarge tiles")
+
+    depth_key = jnp.where(pre.mask, pre.depth, jnp.inf)
+    order = jnp.argsort(depth_key)  # stable
+
+    rect = tile_rect(pre.mean2d, pre.radius, cfg.tile_w, cfg.tile_h, ntx, nty)
+    span_x = rect.x1 - rect.x0
+    span_y = rect.y1 - rect.y0
+    valid = pre.mask & (span_x * span_y > 0)
+
+    # gather into depth order
+    x0 = rect.x0[order]
+    y0 = rect.y0[order]
+    sx = span_x[order]
+    sy = span_y[order]
+    v = valid[order]
+
+    # emit pairs over the static span cap
+    msx, msy = cfg.max_span_x, cfg.max_span_y
+    ox = jnp.arange(msx, dtype=jnp.int32)
+    oy = jnp.arange(msy, dtype=jnp.int32)
+    tx = x0[:, None, None] + ox[None, None, :]        # [P, 1, msx]
+    ty = y0[:, None, None] + oy[None, :, None]        # [P, msy, 1]
+    in_span = (ox[None, None, :] < sx[:, None, None]) & \
+              (oy[None, :, None] < sy[:, None, None]) & v[:, None, None]
+    tid = ty * ntx + tx                                # [P, msy, msx]
+
+    rank = jnp.arange(P, dtype=jnp.int32)
+    key = jnp.where(in_span, tid * P + rank[:, None, None], ntiles * P)
+    key = key.reshape(-1)
+    key_sorted = jnp.sort(key)
+
+    num_valid = jnp.sum(in_span.astype(jnp.int32))
+    pair_rank = key_sorted % P
+    pair_gid = order[pair_rank]
+
+    bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * P
+    edges = jnp.searchsorted(key_sorted, bounds, side="left").astype(jnp.int32)
+    tile_start = edges[:-1]
+    tile_count = edges[1:] - edges[:-1]
+    return Binning(order=order, pair_gid=pair_gid, tile_start=tile_start,
+                   tile_count=tile_count, num_rendered=num_valid)
