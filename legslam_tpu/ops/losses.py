@@ -1,0 +1,126 @@
+"""Loss library: L1, PSNR (two variants), SSIM, language-feature cosine.
+
+Behavioral parity with include/loss_utils.h:
+  - l1_loss:                    loss_utils.h:27
+  - psnr (10*log10(1/mse)):     loss_utils.h:31
+  - psnr_gaussian_splatting:    loss_utils.h:46 (per-channel mse, 20*log10)
+  - cosine_similarity over the 64-D channel axis per pixel, MEAN over pixels
+    (loss_utils.h:36-40). NOTE the sign quirk: the training loss ADDS the
+    mean cosine similarity (gaussian_mapper.cpp:716-721), anti-aligning
+    rendered LF with the encoder LF; eval consistently inverts similarity.
+    We replicate the convention end-to-end (SURVEY.md §3.3).
+  - ssim: 11x11 Gaussian window sigma=1.5, per-channel grouped conv,
+    constant zero padding (torch conv2d padding), C1=0.01^2, C2=0.03^2
+    (loss_utils.h:52-131).
+
+All images here are channel-last [H, W, C] float32 in [0,1].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legslam_tpu.config import SSIM_C1, SSIM_C2, SSIM_SIGMA, SSIM_WINDOW
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def masked_l1_loss(pred: jnp.ndarray, gt: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """L1 over masked pixels. The reference multiplies images by the
+    undistortion mask before the plain mean (gaussian_mapper.cpp:711-716),
+    so zeros still count in the denominator — we replicate that."""
+    return jnp.mean(jnp.abs((pred - gt) * mask))
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 10.0 * jnp.log10(1.0 / mse)
+
+
+def psnr_gaussian_splatting(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel MSE then 20*log10(1/sqrt(mse)), averaged (loss_utils.h:46).
+    Channel-last input; the reference views [C, -1]."""
+    mse = jnp.mean((img1 - img2) ** 2, axis=(0, 1))
+    return jnp.mean(20.0 * jnp.log10(1.0 / jnp.sqrt(mse)))
+
+
+def lf_cosine_similarity(pred: jnp.ndarray, gt: jnp.ndarray,
+                         eps: float = 1e-8) -> jnp.ndarray:
+    """Mean over pixels of per-pixel cosine similarity along the channel
+    axis (loss_utils.h:36-40; torch cosine_similarity eps=1e-8 semantics:
+    denominator clamped at eps per vector)."""
+    dot = jnp.sum(pred * gt, axis=-1)
+    n1 = jnp.linalg.norm(pred, axis=-1).clip(eps)
+    n2 = jnp.linalg.norm(gt, axis=-1).clip(eps)
+    return jnp.mean(dot / (n1 * n2))
+
+
+@functools.lru_cache(maxsize=4)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2.0 * sigma * sigma))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable 11x11 blur with zero padding, per channel ([H, W, C])."""
+    half = win.shape[0] // 2
+    # conv along H then W via depthwise 1D convolutions
+    x = jnp.moveaxis(img, -1, 0)[:, None]  # [C, 1, H, W]
+    kh = win[None, None, :, None]
+    kw = win[None, None, None, :]
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1),
+                                     [(half, half), (0, 0)], dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1),
+                                     [(0, 0), (half, half)], dimension_numbers=dn)
+    return jnp.moveaxis(x[:, 0], 0, -1)
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+         window_size: int = SSIM_WINDOW, sigma: float = SSIM_SIGMA
+         ) -> jnp.ndarray:
+    """Mean SSIM map, matching loss_utils.h:76-116 (zero-padded conv)."""
+    win = jnp.asarray(_gaussian_window(window_size, sigma))
+    mu1 = _blur(img1, win)
+    mu2 = _blur(img2, win)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, win) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, win) - mu2_sq
+    sigma12 = _blur(img1 * img2, win) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + SSIM_C1) * (2 * sigma12 + SSIM_C2)) / \
+               ((mu1_sq + mu2_sq + SSIM_C1) * (sigma1_sq + sigma2_sq + SSIM_C2))
+    return jnp.mean(ssim_map)
+
+
+def mapping_loss(render_color: jnp.ndarray, gt_color: jnp.ndarray,
+                 render_lf: jnp.ndarray | None, gt_lf: jnp.ndarray | None,
+                 render_depth: jnp.ndarray, gt_depth: jnp.ndarray,
+                 mask: jnp.ndarray, lambda_dssim: float) -> jnp.ndarray:
+    """The full training loss (gaussian_mapper.cpp:711-721):
+
+      (1-λ)*L1(img) + λ*(1-SSIM(img)) + mean_cos(LF) + L1(depth)
+
+    with all terms masked by the undistortion mask (mask multiplies the
+    images before the reductions). The +cos(LF) sign is intentional —
+    see module docstring.
+    """
+    m = mask[..., None] if mask.ndim == 2 else mask
+    pc = render_color * m
+    gc = gt_color * m
+    loss = (1.0 - lambda_dssim) * l1_loss(pc, gc) + \
+        lambda_dssim * (1.0 - ssim(pc, gc))
+    if render_lf is not None and gt_lf is not None:
+        loss = loss + lf_cosine_similarity(render_lf * m, gt_lf * m)
+    md = mask if mask.ndim == 2 else mask[..., 0]
+    loss = loss + l1_loss(render_depth * md, gt_depth * md)
+    return loss

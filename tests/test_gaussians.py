@@ -1,0 +1,194 @@
+"""Gaussian store: init, adam, densify/prune, opacity reset, transforms."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legslam_tpu.models import gaussians as G
+from legslam_tpu.utils.knn import mean_sq_dist_to_3nn
+
+
+def test_knn_exact(rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    got = np.asarray(mean_sq_dist_to_3nn(jnp.asarray(pts), chunk=16))
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    want = np.sort(d2, axis=1)[:, :3].mean(1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_create_from_pcd(rng):
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    cols = rng.uniform(size=(20, 3)).astype(np.float32)
+    st = G.create_from_pcd(pts, cols, capacity=32)
+    assert int(st.num_valid()) == 20
+    np.testing.assert_allclose(st.params.xyz[:20], pts)
+    # DC SH inverts back to color
+    from legslam_tpu.utils.sh import sh_to_rgb
+    np.testing.assert_allclose(np.asarray(sh_to_rgb(st.params.f_dc[:20, 0])),
+                               cols, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.opacities()[:20]), 0.1, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.params.rotation[:20, 0]), 1.0)
+
+
+def test_increase_pcd_and_overflow(rng):
+    pts = rng.normal(size=(10, 3)).astype(np.float32)
+    cols = rng.uniform(size=(10, 3)).astype(np.float32)
+    st = G.create_from_pcd(pts, cols, capacity=16)
+    st = G.increase_pcd(st, pts + 5.0, cols, iteration=7)
+    assert int(st.num_valid()) == 16  # 10 + 6 (4 dropped)
+    assert int(st.overflow_dropped) == 4
+    # new slots carry the creation iteration
+    newly = np.asarray(st.exist_since)[10:16]
+    assert (newly == 7).all()
+
+
+def test_adam_matches_torch(rng):
+    """Our adam must match torch.optim.Adam bit-for-bit-ish."""
+    import torch
+    n = 12
+    st = G.create_from_pcd(rng.normal(size=(n, 3)).astype(np.float32),
+                           rng.uniform(size=(n, 3)).astype(np.float32),
+                           capacity=n)
+    xyz_t = torch.tensor(np.asarray(st.params.xyz), requires_grad=True)
+    opt = torch.optim.Adam([xyz_t], lr=0.01, eps=1e-15)
+
+    lrs = dict(xyz=0.01, f_dc=0.0, f_rest=0.0, lang_feat=0.0, opacity=0.0,
+               scaling=0.0, rotation=0.0)
+    zero = jax.tree.map(jnp.zeros_like, st.params)
+    for i in range(3):
+        g = rng.normal(size=(n, 3)).astype(np.float32)
+        xyz_t.grad = torch.tensor(g)
+        opt.step()
+        grads = zero.replace(xyz=jnp.asarray(g))
+        st = G.adam_update(st, grads, lrs)
+    np.testing.assert_allclose(np.asarray(st.params.xyz),
+                               xyz_t.detach().numpy(), atol=1e-6)
+
+
+def test_expon_lr():
+    # endpoints of the log-lerp schedule
+    np.testing.assert_allclose(
+        float(G.expon_lr(0, 1e-2, 1e-4, max_steps=100)), 1e-2, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(G.expon_lr(100, 1e-2, 1e-4, max_steps=100)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(G.expon_lr(50, 1e-2, 1e-4, max_steps=100)), 1e-3, rtol=1e-5)
+    assert float(G.expon_lr(-1, 1e-2, 1e-4, max_steps=100)) == 0.0
+
+
+def test_densify_clone_and_split(rng):
+    n, cap = 8, 64
+    st = G.create_from_pcd(rng.normal(size=(n, 3)).astype(np.float32) * 3,
+                           rng.uniform(size=(n, 3)).astype(np.float32),
+                           capacity=cap)
+    extent = 10.0
+    pd = 0.01  # percent_dense: threshold scale = 0.1
+    # make gaussian 0 small (clone) and gaussian 1 big (split)
+    scaling = np.array(st.params.scaling)
+    scaling[0] = np.log(0.01)
+    scaling[1] = np.log(1.0)
+    st = st.replace(params=st.params.replace(scaling=jnp.asarray(scaling)))
+    # gradients above threshold for 0 and 1 only
+    stats = st.stats.replace(
+        grad_accum=jnp.zeros(cap).at[0].set(10.0).at[1].set(10.0),
+        denom=jnp.ones(cap))
+    st = st.replace(stats=stats)
+    before = int(st.num_valid())
+    st2 = G.densify_and_prune(st, jax.random.key(0), grad_threshold=1.0,
+                              min_opacity=0.005, extent=extent,
+                              max_screen_size=None, percent_dense=pd)
+    # clone adds 1; split adds 2 and removes 1 => net +2
+    assert int(st2.num_valid()) == before + 2
+    # split children scale = log(scale/1.6)
+    child_sc = np.exp(np.asarray(st2.params.scaling))
+    assert np.isclose(sorted(child_sc[:, 0])[-1], 1.0 / 1.6, rtol=1e-4) or \
+        np.any(np.isclose(child_sc, 1.0 / 1.6, rtol=1e-4))
+    # moments for new slots are zero
+    assert np.all(np.asarray(st2.adam_m.xyz)[~np.asarray(st2.valid)] == 0)
+
+
+def test_prune_by_opacity(rng):
+    n = 6
+    st = G.create_from_pcd(rng.normal(size=(n, 3)).astype(np.float32),
+                           rng.uniform(size=(n, 3)).astype(np.float32),
+                           capacity=8)
+    op = np.array(st.params.opacity)
+    op[2] = -10.0  # sigmoid ~ 0
+    st = st.replace(params=st.params.replace(opacity=jnp.asarray(op)))
+    st2 = G.densify_and_prune(st, jax.random.key(1), grad_threshold=1e9,
+                              min_opacity=0.02, extent=1.0,
+                              max_screen_size=None, percent_dense=0.01)
+    assert int(st2.num_valid()) == n - 1
+    assert not bool(st2.valid[2])
+
+
+def test_opacity_reset(rng):
+    st = G.create_from_pcd(rng.normal(size=(4, 3)).astype(np.float32),
+                           rng.uniform(size=(4, 3)).astype(np.float32),
+                           capacity=4)
+    st = G.reset_opacity(st)
+    np.testing.assert_allclose(np.asarray(st.opacities()), 0.01, rtol=1e-4)
+    assert np.all(np.asarray(st.adam_m.opacity) == 0)
+
+
+def test_scaled_transformation(rng):
+    pts = rng.normal(size=(5, 3)).astype(np.float32)
+    st = G.create_from_pcd(pts, rng.uniform(size=(5, 3)).astype(np.float32),
+                           capacity=5)
+    # rotate 90deg about z, translate, scale 2
+    R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+    t = np.array([1.0, 2.0, 3.0], np.float32)
+    st2 = G.apply_scaled_transformation(st, 2.0, jnp.asarray(R),
+                                        jnp.asarray(t))
+    want = (2.0 * pts) @ R.T + t
+    np.testing.assert_allclose(np.asarray(st2.params.xyz), want, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.exp(st2.params.scaling)),
+                               2.0 * np.exp(np.asarray(st.params.scaling)),
+                               rtol=1e-5)
+
+
+def test_rotmat_quat_roundtrip(rng):
+    from legslam_tpu.utils.transforms import normalize_quat, quat_to_rotmat
+    q = normalize_quat(jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32)))
+    R = quat_to_rotmat(q)
+    q2 = G.rotmat_to_quat(R)
+    R2 = quat_to_rotmat(q2)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=5e-5)
+
+
+def test_transform_visible_points(rng):
+    pts = np.array([[0, 0, 5.0], [0, 0, -5.0], [0, 0, 6.0]], np.float32)
+    st = G.create_from_pcd(pts, np.ones((3, 3), np.float32) * 0.5, capacity=4)
+    w2v = jnp.eye(4)  # camera at origin looking +z
+    not_t = jnp.ones(4, bool)
+    R = jnp.eye(3)
+    t = jnp.asarray([0.0, 1.0, 0.0])
+    st2, not_t2, n = G.transform_visible_points(
+        st, not_t, R, t, w2v, kf_creation_iter=0,
+        stable_num_iter_existence=30, scale=1.0)
+    assert int(n) == 2  # point behind camera untouched
+    np.testing.assert_allclose(np.asarray(st2.params.xyz[0]), [0, 1, 5],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2.params.xyz[1]), [0, 0, -5],
+                               atol=1e-6)
+    assert not bool(not_t2[0]) and bool(not_t2[1])
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    from legslam_tpu.utils import ply
+    n = 7
+    kw = dict(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32),
+        f_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+        f_rest=rng.normal(size=(n, 15, 3)).astype(np.float32),
+        lang_feat=rng.normal(size=(n, 64)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32),
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+    )
+    p = str(tmp_path / "point_cloud.ply")
+    ply.save_gaussian_ply(p, **kw)
+    back = ply.load_gaussian_ply(p)
+    for k, v in kw.items():
+        np.testing.assert_allclose(back[k], v, err_msg=k)
