@@ -76,7 +76,7 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class OptimizationParams:
     """Training hyperparameters (reference: gaussian_parameters.cpp /
     cfg/gaussian_mapper/RGB-D/Replica/replica_rgbd.yaml defaults)."""
@@ -108,7 +108,7 @@ class OptimizationParams:
     # f_rest LR = feature_lr / 20 (gaussian_model.cpp:488-511)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class MapperParams:
     """Online mapper parameters (gaussian_mapper.cpp:223-359 config surface)."""
 
@@ -133,7 +133,7 @@ class MapperParams:
     keep_training_after_shutdown: bool = False
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
     """Static configuration of the tile rasterizer (shapes under jit)."""
 

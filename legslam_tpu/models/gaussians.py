@@ -278,10 +278,14 @@ def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: int = 0,
     else:
         delay_rate = 1.0
     tt = jnp.clip(step / max_steps, 0.0, 1.0)
-    if lr_init == 0.0 and lr_final == 0.0:
-        return jnp.zeros_like(step)
-    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - tt) + jnp.log(lr_final) * tt)
-    return jnp.where(step >= 0, delay_rate * log_lerp, 0.0)
+    lr_init = jnp.asarray(lr_init, jnp.float32)
+    lr_final = jnp.asarray(lr_final, jnp.float32)
+    both_zero = (lr_init == 0.0) & (lr_final == 0.0)
+    safe_init = jnp.where(both_zero, 1.0, lr_init)
+    safe_final = jnp.where(both_zero, 1.0, lr_final)
+    log_lerp = jnp.exp(jnp.log(safe_init) * (1 - tt) +
+                       jnp.log(safe_final) * tt)
+    return jnp.where((step >= 0) & ~both_zero, delay_rate * log_lerp, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -56,8 +56,10 @@ def lf_cosine_similarity(pred: jnp.ndarray, gt: jnp.ndarray,
     axis (loss_utils.h:36-40; torch cosine_similarity eps=1e-8 semantics:
     denominator clamped at eps per vector)."""
     dot = jnp.sum(pred * gt, axis=-1)
-    n1 = jnp.linalg.norm(pred, axis=-1).clip(eps)
-    n2 = jnp.linalg.norm(gt, axis=-1).clip(eps)
+    # sqrt(max(., eps^2)) keeps the gradient finite at the zero vector
+    # (rendered LF is exactly zero at init); torch clamps the denominator.
+    n1 = jnp.sqrt(jnp.maximum(jnp.sum(pred * pred, axis=-1), eps * eps))
+    n2 = jnp.sqrt(jnp.maximum(jnp.sum(gt * gt, axis=-1), eps * eps))
     return jnp.mean(dot / (n1 * n2))
 
 

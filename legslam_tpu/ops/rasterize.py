@@ -126,6 +126,60 @@ def _composite_tiles(binning: Binning, mean2d: jnp.ndarray,
     return img, tf
 
 
+def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
+                  lang_feat: jnp.ndarray, opacity: jnp.ndarray,
+                  scales: jnp.ndarray, quats: jnp.ndarray,
+                  valid: jnp.ndarray, world_view: jnp.ndarray,
+                  full_proj: jnp.ndarray, cam_center: jnp.ndarray,
+                  tan_fovx, tan_fovy, width: int, height: int,
+                  bg: jnp.ndarray, active_sh_degree: int,
+                  cfg: RasterizeConfig,
+                  include_lang_feat: bool = True,
+                  scale_modifier: float = 1.0,
+                  mean2d_offset: jnp.ndarray | None = None,
+                  max_per_tile: int = 2048,
+                  colors_precomp: jnp.ndarray | None = None,
+                  stop_depth_grad: bool = True) -> RasterizeOutput:
+    """Core render on raw arrays (jit/grad-friendly: width/height static,
+    everything else traceable). See `rasterize` for argument docs."""
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+    quats = normalize_quat(quats)
+    pre = preprocess(
+        means3d, scales, quats, valid, world_view, full_proj,
+        width, height, focal_x, focal_y, tan_fovx, tan_fovy, scale_modifier)
+    if mean2d_offset is not None:
+        pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
+
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    else:
+        rgb = sh_to_color(active_sh_degree, sh, means3d, cam_center)
+
+    # The reference accumulates dL/ddepth per gaussian but never applies it
+    # to means (backward.cu:573-580 vs preprocess); stop_depth_grad=True
+    # replicates that dead-end. The alpha-coupling path is unaffected.
+    depth_const = jax.lax.stop_gradient(pre.depth) if stop_depth_grad \
+        else pre.depth
+    parts = [rgb]
+    if include_lang_feat:
+        parts.append(lang_feat)
+    parts.append(depth_const[:, None])
+    feats = jnp.concatenate(parts, axis=-1)
+
+    binning = bin_gaussians(pre, width, height, cfg)
+    img, t_final = _composite_tiles(
+        binning, pre.mean2d, pre.conic, opacity, feats,
+        width, height, cfg, max_per_tile)
+
+    color = img[..., :3] + t_final[..., None] * bg[None, None]
+    lf = img[..., 3:-1] if include_lang_feat else None
+    depth = img[..., -1]
+    return RasterizeOutput(color=color, lang_feat=lf, depth=depth,
+                           final_t=t_final, radii=pre.radius,
+                           num_rendered=binning.num_rendered)
+
+
 def rasterize(means3d: jnp.ndarray, sh: jnp.ndarray, lang_feat: jnp.ndarray,
               opacity: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
               valid: jnp.ndarray, view: CameraView, bg: jnp.ndarray,
@@ -155,38 +209,9 @@ def rasterize(means3d: jnp.ndarray, sh: jnp.ndarray, lang_feat: jnp.ndarray,
     means3d, sh, lang_feat, opacity, scales, quats, valid = (
         jnp.asarray(a) for a in
         (means3d, sh, lang_feat, opacity, scales, quats, valid))
-    quats = normalize_quat(quats)
-    pre = preprocess(
-        means3d, scales, quats, valid, view.world_view, view.full_proj,
-        view.width, view.height, view.focal_x, view.focal_y,
-        view.tan_fovx, view.tan_fovy, scale_modifier)
-    if mean2d_offset is not None:
-        pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
-
-    if colors_precomp is not None:
-        rgb = colors_precomp
-    else:
-        rgb = sh_to_color(active_sh_degree, sh, means3d, view.cam_center)
-
-    # The reference accumulates dL/ddepth per gaussian but never applies it
-    # to means (backward.cu:573-580 vs preprocess); stop_depth_grad=True
-    # replicates that dead-end. The alpha-coupling path is unaffected.
-    depth_const = jax.lax.stop_gradient(pre.depth) if stop_depth_grad \
-        else pre.depth
-    parts = [rgb]
-    if include_lang_feat:
-        parts.append(lang_feat)
-    parts.append(depth_const[:, None])
-    feats = jnp.concatenate(parts, axis=-1)
-
-    binning = bin_gaussians(pre, view.width, view.height, cfg)
-    img, t_final = _composite_tiles(
-        binning, pre.mean2d, pre.conic, opacity, feats,
-        view.width, view.height, cfg, max_per_tile)
-
-    color = img[..., :3] + t_final[..., None] * bg[None, None]
-    lf = img[..., 3:-1] if include_lang_feat else None
-    depth = img[..., -1]
-    return RasterizeOutput(color=color, lang_feat=lf, depth=depth,
-                           final_t=t_final, radii=pre.radius,
-                           num_rendered=binning.num_rendered)
+    return render_arrays(
+        means3d, sh, lang_feat, opacity, scales, quats, valid,
+        view.world_view, view.full_proj, view.cam_center,
+        view.tan_fovx, view.tan_fovy, view.width, view.height, bg,
+        active_sh_degree, cfg, include_lang_feat, scale_modifier,
+        mean2d_offset, max_per_tile, colors_precomp, stop_depth_grad)
