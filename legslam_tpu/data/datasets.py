@@ -1,0 +1,213 @@
+"""RGB-D dataset readers: Replica, ScanNet, TUM (+ synthetic for tests).
+
+Input contracts mirror the reference loaders (SURVEY.md §3.6):
+  * Replica (examples/replica_rgbd.cpp:223-235): <scene>/results/frame*.jpg
+    + depth*.png, lexicographically sorted pairs; GT trajectory
+    <scene>/traj.txt with one row-major 4x4 camera-to-world per line
+    (eval/replica_test.py:197); depth factor 6553.5 (office0.yaml:37).
+  * ScanNet (examples/replica_rgbd.cpp:237-257): <scene>/color/N.jpg +
+    <scene>/depth/N.png numerically sorted; poses from
+    tools/scannet_sens_reader.py layout (pose/N.txt camera-to-world,
+    intrinsic/intrinsic_color.txt); depth factor 1000.
+  * TUM RGB-D: rgb.txt/depth.txt timestamp association (classic protocol,
+    matching ORB-SLAM3's examples); depth factor 5000.
+
+Readers are plain Python (host-side IO); a prefetch thread pool overlaps
+decode with device compute (the reference's per-frame cv::imread loop is
+examples/replica_rgbd.cpp:153-160).
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import re
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+    from PIL import Image
+
+REPLICA_DEPTH_SCALE = 6553.5   # cfg/ORB_SLAM3/RGB-D/Replica/office0.yaml:37
+SCANNET_DEPTH_SCALE = 1000.0
+TUM_DEPTH_SCALE = 5000.0
+
+# Replica camera (cfg/ORB_SLAM3/RGB-D/Replica/office0.yaml:11-30)
+REPLICA_INTRINSICS = dict(width=1200, height=680, fx=600.0, fy=600.0,
+                          cx=599.5, cy=339.5)
+
+
+@dataclasses.dataclass
+class RGBDFrame:
+    index: int
+    timestamp: float
+    color: np.ndarray            # [H, W, 3] float32 RGB in [0,1]
+    depth: np.ndarray            # [H, W] float32 meters (0 = invalid)
+    c2w: Optional[np.ndarray]    # [4, 4] camera-to-world GT pose or None
+    color_path: str = ""
+
+
+def _imread_color(path: str) -> np.ndarray:
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    else:  # pragma: no cover
+        img = np.asarray(Image.open(path).convert("RGB"))
+    return img.astype(np.float32) / 255.0
+
+
+def _imread_depth(path: str, scale: float) -> np.ndarray:
+    if _HAS_CV2:
+        d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    else:  # pragma: no cover
+        d = np.asarray(Image.open(path))
+    return d.astype(np.float32) / scale
+
+
+class BaseDataset:
+    """Iterable RGB-D sequence with optional background prefetch."""
+
+    depth_scale: float = 1.0
+    intrinsics: dict
+
+    def __len__(self) -> int:
+        return len(self._color_paths)
+
+    def _pose(self, i: int) -> Optional[np.ndarray]:
+        return None if self._poses is None else self._poses[i]
+
+    def read(self, i: int) -> RGBDFrame:
+        return RGBDFrame(
+            index=i, timestamp=float(i),
+            color=_imread_color(self._color_paths[i]),
+            depth=_imread_depth(self._depth_paths[i], self.depth_scale),
+            c2w=self._pose(i), color_path=self._color_paths[i])
+
+    def __iter__(self) -> Iterator[RGBDFrame]:
+        return self.iter_prefetched()
+
+    def iter_prefetched(self, workers: int = 4,
+                        lookahead: int = 8) -> Iterator[RGBDFrame]:
+        """Decode frames in a thread pool, `lookahead` frames ahead."""
+        n = len(self)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = {}
+            for i in range(min(lookahead, n)):
+                futures[i] = pool.submit(self.read, i)
+            for i in range(n):
+                frame = futures.pop(i).result()
+                j = i + lookahead
+                if j < n:
+                    futures[j] = pool.submit(self.read, j)
+                yield frame
+
+
+class ReplicaDataset(BaseDataset):
+    depth_scale = REPLICA_DEPTH_SCALE
+
+    def __init__(self, scene_dir: str):
+        res = os.path.join(scene_dir, "results")
+        self._color_paths = sorted(glob.glob(os.path.join(res, "frame*.jpg")))
+        self._depth_paths = sorted(glob.glob(os.path.join(res, "depth*.png")))
+        if len(self._color_paths) != len(self._depth_paths):
+            raise ValueError("mismatched frame/depth counts in " + res)
+        traj = os.path.join(scene_dir, "traj.txt")
+        self._poses = None
+        if os.path.exists(traj):
+            rows = np.loadtxt(traj).reshape(-1, 4, 4).astype(np.float32)
+            self._poses = list(rows)
+        self.intrinsics = dict(REPLICA_INTRINSICS)
+
+
+def _numeric_sort(paths):
+    def key(p):
+        m = re.search(r"(\d+)\.\w+$", os.path.basename(p))
+        return int(m.group(1)) if m else 0
+    return sorted(paths, key=key)
+
+
+class ScanNetDataset(BaseDataset):
+    depth_scale = SCANNET_DEPTH_SCALE
+
+    def __init__(self, scene_dir: str):
+        self._color_paths = _numeric_sort(
+            glob.glob(os.path.join(scene_dir, "color", "*.jpg")))
+        self._depth_paths = _numeric_sort(
+            glob.glob(os.path.join(scene_dir, "depth", "*.png")))
+        pose_files = _numeric_sort(
+            glob.glob(os.path.join(scene_dir, "pose", "*.txt")))
+        self._poses = None
+        if pose_files:
+            self._poses = [np.loadtxt(p).astype(np.float32)
+                           for p in pose_files]
+        intr = os.path.join(scene_dir, "intrinsic", "intrinsic_color.txt")
+        if os.path.exists(intr):
+            K = np.loadtxt(intr).astype(np.float32)
+            # probe first image for the true resolution
+            sample = _imread_color(self._color_paths[0])
+            self.intrinsics = dict(
+                width=sample.shape[1], height=sample.shape[0],
+                fx=float(K[0, 0]), fy=float(K[1, 1]),
+                cx=float(K[0, 2]), cy=float(K[1, 2]))
+        else:
+            sample = _imread_color(self._color_paths[0])
+            self.intrinsics = dict(width=sample.shape[1],
+                                   height=sample.shape[0],
+                                   fx=577.0, fy=577.0,
+                                   cx=sample.shape[1] / 2 - 0.5,
+                                   cy=sample.shape[0] / 2 - 0.5)
+
+
+class TUMDataset(BaseDataset):
+    depth_scale = TUM_DEPTH_SCALE
+
+    def __init__(self, scene_dir: str, max_dt: float = 0.02):
+        def read_list(name):
+            out = []
+            with open(os.path.join(scene_dir, name)) as f:
+                for line in f:
+                    if line.startswith("#"):
+                        continue
+                    ts, path = line.strip().split()[:2]
+                    out.append((float(ts), os.path.join(scene_dir, path)))
+            return out
+
+        rgb = read_list("rgb.txt")
+        depth = read_list("depth.txt")
+        self._color_paths, self._depth_paths, self._stamps = [], [], []
+        j = 0
+        for ts, cpath in rgb:
+            while j + 1 < len(depth) and \
+                    abs(depth[j + 1][0] - ts) < abs(depth[j][0] - ts):
+                j += 1
+            if abs(depth[j][0] - ts) <= max_dt:
+                self._color_paths.append(cpath)
+                self._depth_paths.append(depth[j][1])
+                self._stamps.append(ts)
+        self._poses = None
+        sample = _imread_color(self._color_paths[0])
+        self.intrinsics = dict(width=sample.shape[1], height=sample.shape[0],
+                               fx=525.0, fy=525.0, cx=319.5, cy=239.5)
+
+    def read(self, i: int) -> RGBDFrame:
+        frame = super().read(i)
+        return dataclasses.replace(frame, timestamp=self._stamps[i])
+
+
+def open_dataset(path: str) -> BaseDataset:
+    """Sniff the dataset type from the directory layout, like the reference
+    sniffs from the path string (examples/replica_rgbd.cpp:76-79)."""
+    if os.path.isdir(os.path.join(path, "results")):
+        return ReplicaDataset(path)
+    if os.path.isdir(os.path.join(path, "color")):
+        return ScanNetDataset(path)
+    if os.path.exists(os.path.join(path, "rgb.txt")):
+        return TUMDataset(path)
+    raise ValueError(f"unrecognized dataset layout at {path}")

@@ -1,0 +1,105 @@
+"""Synthetic RGB-D sequence for tests, demos and benchmarks.
+
+Generates a procedural "room" of colored gaussians, renders GT color/depth
+from a circular camera path with the oracle-quality tiled renderer, and
+serves frames through the BaseDataset interface. This stands in for
+Replica/ScanNet when no dataset is mounted (the reference has no fixture
+equivalent — SURVEY.md §4 notes it tests end-to-end only)."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from legslam_tpu.config import RasterizeConfig
+from legslam_tpu.data.datasets import BaseDataset, RGBDFrame
+from legslam_tpu.ops.rasterize import rasterize
+from legslam_tpu.utils.camera import CameraView
+
+
+def _look_at(eye, target, up=(0.0, -1.0, 0.0)):
+    """camera-to-world with +z forward (OpenCV convention)."""
+    eye = np.asarray(eye, np.float32)
+    fwd = np.asarray(target, np.float32) - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float32))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
+    return c2w
+
+
+class SyntheticDataset(BaseDataset):
+    depth_scale = 1.0
+
+    def __init__(self, n_frames: int = 40, width: int = 320,
+                 height: int = 192, n_gaussians: int = 6000, seed: int = 0,
+                 radius: float = 2.0):
+        rng = np.random.default_rng(seed)
+        self.intrinsics = dict(width=width, height=height,
+                               fx=0.8 * width, fy=0.8 * width,
+                               cx=width / 2 - 0.5, cy=height / 2 - 0.5)
+        # a box room: gaussians on the walls of a [-4,4]^3 cube + clutter
+        n_wall = n_gaussians // 2
+        walls = rng.uniform(-4, 4, size=(n_wall, 3)).astype(np.float32)
+        axis = rng.integers(0, 3, n_wall)
+        sign = rng.choice([-4.0, 4.0], n_wall)
+        walls[np.arange(n_wall), axis] = sign
+        clutter = rng.uniform(-3, 3, size=(n_gaussians - n_wall, 3)) \
+            .astype(np.float32)
+        self._xyz = np.concatenate([walls, clutter])
+        self._colors = rng.uniform(0.1, 0.9, size=(n_gaussians, 3)) \
+            .astype(np.float32)
+        self._lf = rng.normal(size=(n_gaussians, 64)).astype(np.float32)
+        self._lf /= np.linalg.norm(self._lf, axis=-1, keepdims=True)
+        self._scales = np.full((n_gaussians, 3), 0.12, np.float32)
+        self._opacity = np.full((n_gaussians,), 0.9, np.float32)
+        self._quats = np.tile(np.array([1, 0, 0, 0], np.float32),
+                              (n_gaussians, 1))
+
+        self._poses = []
+        for i in range(n_frames):
+            a = 2 * np.pi * i / max(n_frames, 1) * 0.5
+            eye = (radius * np.cos(a), 0.3 * np.sin(2 * a),
+                   radius * np.sin(a))
+            self._poses.append(_look_at(eye, (0.0, 0.0, 0.0)))
+        self._n = n_frames
+        self._cfg = RasterizeConfig(max_span_x=4, max_span_y=8, chunk=128,
+                                    tile_batch=8)
+        self._cache: dict[int, RGBDFrame] = {}
+
+    def __len__(self) -> int:
+        return self._n
+
+    def gaussian_world(self):
+        """Ground-truth gaussian field (for renderer-level tests)."""
+        return dict(xyz=self._xyz, colors=self._colors, lf=self._lf,
+                    scales=self._scales, opacity=self._opacity,
+                    quats=self._quats)
+
+    def read(self, i: int) -> RGBDFrame:
+        if i in self._cache:
+            return self._cache[i]
+        intr = self.intrinsics
+        c2w = self._poses[i]
+        w2c = np.linalg.inv(c2w)
+        view = CameraView.create(
+            w2c[:3, :3], w2c[:3, 3], intr["width"], intr["height"],
+            fx=intr["fx"], fy=intr["fy"])
+        from legslam_tpu.utils.sh import rgb_to_sh
+        sh = np.zeros((self._xyz.shape[0], 16, 3), np.float32)
+        sh[:, 0] = np.asarray(rgb_to_sh(self._colors))
+        out = rasterize(
+            self._xyz, sh, self._lf, self._opacity, self._scales,
+            self._quats, np.ones(self._xyz.shape[0], bool), view,
+            jnp.zeros(3), active_sh_degree=0, cfg=self._cfg,
+            max_per_tile=1024)
+        frame = RGBDFrame(
+            index=i, timestamp=float(i),
+            color=np.clip(np.asarray(out.color), 0.0, 1.0),
+            depth=np.asarray(out.depth), c2w=c2w)
+        self._cache[i] = frame
+        return frame

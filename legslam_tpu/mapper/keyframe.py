@@ -1,0 +1,124 @@
+"""Mapper-side keyframe store: device tensors + training budgets.
+
+Equivalent of GaussianKeyframe (src/gaussian_keyframe.cpp, SURVEY.md C6) +
+the mapper's ingestion path (gaussian_mapper.cpp:361-514): pose, camera
+transform tensors, GT image pyramid on device, per-KF times-of-use budget
+and pyramid sub-level budgets (getCurrentGausPyramidLevel,
+gaussian_keyframe.cpp:195-204).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legslam_tpu.slam.interface import KeyframePacket
+from legslam_tpu.utils.camera import CameraView, focal2fov
+
+
+def _resize_area(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    try:
+        import cv2
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    except Exception:  # pragma: no cover
+        import jax.image
+        tgt = (h, w) + img.shape[2:]
+        return np.asarray(jax.image.resize(img, tgt, method="linear"))
+
+
+@dataclasses.dataclass
+class MapKeyframe:
+    fid: int
+    timestamp: float
+    R: np.ndarray                      # [3,3] world->camera
+    t: np.ndarray                      # [3]
+    views: list                        # CameraView per pyramid level (0=full)
+    gt_color: list                     # device [H,W,3] per level
+    gt_depth: list                     # device [H,W] per level
+    mask: list                         # device [H,W] per level
+    gt_lf: Optional[jnp.ndarray]       # [37,37,64] device or None
+    kp_pixels: Optional[np.ndarray]
+    kp_points_local: Optional[np.ndarray]
+    remaining_times_of_use: int = 0
+    pyramid_uses: Optional[list] = None  # per-sub-level remaining budgets
+    done_inactive_geo_densify: bool = False
+    creation_iter: int = 0
+    is_loop_kf: bool = False
+    # eval bookkeeping (render_time.txt / psnr.txt artifacts)
+    record: dict = dataclasses.field(default_factory=dict)
+
+    def set_pose(self, R: np.ndarray, t: np.ndarray, fx: float, fy: float
+                 ) -> None:
+        """Update pose after BA (computeTransformTensors,
+        gaussian_keyframe.cpp:111-145)."""
+        self.R, self.t = R, t
+        new_views = []
+        for v in self.views:
+            new_views.append(CameraView.create(
+                R, t, v.width, v.height, fovx=v.fovx, fovy=v.fovy))
+        self.views = new_views
+
+    def pick_pyramid_level(self) -> int:
+        """Consume a sub-level budget; full resolution once exhausted
+        (gaussian_keyframe.cpp:195-204: level index 0 is the COARSEST)."""
+        if self.pyramid_uses:
+            for i, n in enumerate(self.pyramid_uses):
+                if n > 0:
+                    self.pyramid_uses[i] -= 1
+                    return i
+        return len(self.pyramid_uses) if self.pyramid_uses else 0
+
+
+def build_keyframe(packet: KeyframePacket, intr: dict,
+                   num_sub_levels: int, pyramid_uses: tuple,
+                   times_of_use: int, creation_iter: int,
+                   mask_full: Optional[np.ndarray] = None) -> MapKeyframe:
+    """Snapshot a bridge packet into device-resident pyramids.
+
+    Pyramid levels: sub-level i has scale 2^-(num_sub_levels - i), i.e. for
+    2 sub-levels: level 0 = quarter res, level 1 = half res, level 2
+    (implicit) = full res — matching the mapper's pyramid construction
+    (gaussian_mapper.cpp:454-491).
+    """
+    h, w = packet.color.shape[:2]
+    fx, fy = intr["fx"], intr["fy"]
+    fovx, fovy = focal2fov(fx, w), focal2fov(fy, h)
+    if mask_full is None:
+        mask_full = np.ones((h, w), np.float32)
+    depth = packet.depth if packet.depth is not None else \
+        np.zeros((h, w), np.float32)
+
+    views, colors, depths, masks = [], [], [], []
+    for lvl in range(num_sub_levels + 1):
+        if lvl < num_sub_levels:
+            scale = 0.5 ** (num_sub_levels - lvl)
+            lh, lw = max(int(h * scale), 1), max(int(w * scale), 1)
+        else:
+            lh, lw = h, w
+        views.append(CameraView.create(packet.R, packet.t, lw, lh,
+                                       fovx=fovx, fovy=fovy))
+        if (lh, lw) == (h, w):
+            c, d, m = packet.color, depth, mask_full
+        else:
+            c = _resize_area(packet.color, lh, lw)
+            d = _resize_area(depth, lh, lw)
+            m = _resize_area(mask_full, lh, lw)
+        colors.append(jnp.asarray(c, jnp.float32))
+        depths.append(jnp.asarray(d, jnp.float32))
+        masks.append(jnp.asarray(m, jnp.float32))
+
+    gt_lf = None
+    if packet.lf_image is not None:
+        gt_lf = jnp.asarray(packet.lf_image, jnp.float32)
+
+    return MapKeyframe(
+        fid=packet.fid, timestamp=packet.timestamp, R=packet.R, t=packet.t,
+        views=views, gt_color=colors, gt_depth=depths, mask=masks,
+        gt_lf=gt_lf, kp_pixels=packet.kp_pixels,
+        kp_points_local=packet.kp_points_local,
+        remaining_times_of_use=times_of_use,
+        pyramid_uses=list(pyramid_uses[:num_sub_levels]),
+        creation_iter=creation_iter, is_loop_kf=packet.is_loop_kf)

@@ -1,0 +1,453 @@
+"""Online Gaussian mapper: the orchestration layer (GaussianMapper, C10).
+
+Reproduces the reference's 3-phase lifecycle (src/gaussian_mapper.cpp:361-554):
+
+  Phase 1  initial mapping: wait for >= min_num_initial_map_kfs keyframes,
+           snapshot sparse colored points, create the store
+           (createFromPcd), compute the nerf++ camera extent, first
+           training iteration.
+  Phase 2  incremental: drain MappingOperations (new keyframes, BA pose
+           updates, loop-closure surgery, scale refinement) and run one
+           training iteration per tick (trainForOneIteration,
+           :624-798).
+  Phase 3  tail optimization after SLAM shutdown, then artifact dump.
+
+The device-side work is the static-shape jitted step (mapper/train_step.py)
+plus episodic densify/prune/opacity-reset (models/gaussians.py), so the
+Python here is pure scheduling — it never triggers a re-jit as the map
+grows.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legslam_tpu.config import (
+    MapperParams,
+    OptimizationParams,
+    RasterizeConfig,
+)
+from legslam_tpu.mapper.keyframe import MapKeyframe, build_keyframe
+from legslam_tpu.mapper.train_step import train_step, upsample_lf
+from legslam_tpu.models import gaussians as G
+from legslam_tpu.ops import losses
+from legslam_tpu.ops.rasterize import rasterize
+from legslam_tpu.slam.interface import MappingOperation, OpKind
+from legslam_tpu.utils import ply
+from legslam_tpu.utils.camera import CameraView, focal2fov
+
+
+def nerfpp_norm(cam_centers: np.ndarray) -> tuple[np.ndarray, float]:
+    """Scene translate/radius: 1.1 x max distance from the camera-center
+    centroid (gaussian_scene.cpp getNerfppNorm)."""
+    center = cam_centers.mean(axis=0)
+    dists = np.linalg.norm(cam_centers - center, axis=-1)
+    radius = float(dists.max() * 1.1) if len(dists) else 1.0
+    return -center, max(radius, 1e-6)
+
+
+def rotation_angle_deg(R: np.ndarray) -> float:
+    c = (np.trace(R) - 1.0) * 0.5
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+class GaussianMapper:
+    def __init__(self, source, intrinsics: dict,
+                 opt: Optional[OptimizationParams] = None,
+                 mp: Optional[MapperParams] = None,
+                 cfg: Optional[RasterizeConfig] = None,
+                 capacity: int = 1 << 18,
+                 result_dir: str = "./output",
+                 max_per_tile: int = 2048,
+                 seed: int = 0,
+                 include_lang_feat: bool = True):
+        self.source = source
+        self.intr = intrinsics
+        self.opt = opt or OptimizationParams()
+        self.mp = mp or MapperParams()
+        self.cfg = cfg or RasterizeConfig()
+        self.capacity = capacity
+        self.result_dir = result_dir
+        self.max_per_tile = max_per_tile
+        self.include_lang_feat = include_lang_feat
+
+        self.state: Optional[G.GaussianState] = None
+        self.keyframes: dict[int, MapKeyframe] = {}
+        self.iteration = 0
+        self.active_sh_degree = 0
+        self.cameras_extent = 1.0
+        self.scene_translate = np.zeros(3, np.float32)
+        self.bg = jnp.zeros(3, jnp.float32)
+        self.key = jax.random.key(seed)
+        self._rng = random.Random(seed)
+        self._kf_cycle: list[int] = []
+        self._pending_points: list[tuple[np.ndarray, np.ndarray]] = []
+        self._depth_cache: list[tuple[np.ndarray, np.ndarray]] = []
+        self._kfs_since_densify_flush = 0
+        self.ema_loss = 0.0
+        self.timings: list[float] = []
+        self.big_points_on = False
+
+    # ------------------------------------------------------------------
+    # Bridge ingestion (combineMappingOperations, gaussian_mapper.cpp:829)
+    # ------------------------------------------------------------------
+    def _ingest_keyframe(self, packet) -> None:
+        mp = self.mp
+        if packet.fid in self.keyframes:
+            kf = self.keyframes[packet.fid]
+            old_R, old_t = kf.R.copy(), kf.t.copy()
+            kf.set_pose(packet.R, packet.t, self.intr["fx"], self.intr["fy"])
+            kf.remaining_times_of_use += mp.local_BA_increased_times_of_use
+            return
+        kf = build_keyframe(
+            packet, self.intr, mp.num_gaus_pyramid_sub_levels
+            if mp.do_gaus_pyramid_training else 0,
+            mp.gaus_pyramid_times_of_use,
+            mp.new_keyframe_times_of_use, self.iteration)
+        self.keyframes[packet.fid] = kf
+        if mp.do_inactive_geo_densify:
+            self._cache_inactive_geometry(kf)
+
+    def _cache_inactive_geometry(self, kf: MapKeyframe) -> None:
+        """RGBD inactive-geometry densification: keypoints without map
+        points get their depth from the sensor and are cached; every
+        `depth_cache` keyframes the batch goes into the model
+        (gaussian_mapper.cpp:1253-1492, depth filters from cfg)."""
+        if kf.kp_pixels is None or kf.gt_depth is None:
+            return
+        depth = np.asarray(kf.gt_depth[-1])
+        color = np.asarray(kf.gt_color[-1])
+        h, w = depth.shape
+        kp = kf.kp_pixels
+        has_mp = kf.kp_points_local is not None and \
+            (kf.kp_points_local[:, 2] > 0)
+        xi = np.clip(kp[:, 0].astype(int), 0, w - 1)
+        yi = np.clip(kp[:, 1].astype(int), 0, h - 1)
+        d = depth[yi, xi]
+        ok = (~has_mp) & (d > self.mp.rgbd_min_depth) & \
+            (d < self.mp.rgbd_max_depth)
+        if not ok.any():
+            kf.done_inactive_geo_densify = True
+            return
+        fx, fy = self.intr["fx"], self.intr["fy"]
+        cx, cy = self.intr["cx"], self.intr["cy"]
+        # scale intrinsics to stored full-res level
+        sx = w / self.intr["width"]
+        sy = h / self.intr["height"]
+        cam = np.stack([(kp[ok, 0] - cx * sx) / (fx * sx) * d[ok],
+                        (kp[ok, 1] - cy * sy) / (fy * sy) * d[ok],
+                        d[ok]], -1)
+        world = (cam - kf.t) @ kf.R
+        cols = color[yi[ok], xi[ok]]
+        self._depth_cache.append((world.astype(np.float32),
+                                  cols.astype(np.float32)))
+        kf.done_inactive_geo_densify = True
+        self._kfs_since_densify_flush += 1
+        if self._kfs_since_densify_flush >= self.mp.depth_cache:
+            self._flush_depth_cache()
+
+    def _flush_depth_cache(self) -> None:
+        if not self._depth_cache or self.state is None:
+            self._kfs_since_densify_flush = 0
+            return
+        pts = np.concatenate([p for p, _ in self._depth_cache])
+        cols = np.concatenate([c for _, c in self._depth_cache])
+        self._depth_cache.clear()
+        self._kfs_since_densify_flush = 0
+        if pts.shape[0] >= self.mp.min_num_inactive_geo_densify:
+            self.state = G.increase_pcd(self.state, pts, cols,
+                                        self.iteration)
+
+    def handle_operation(self, op: MappingOperation) -> None:
+        if op.kind == OpKind.LOCAL_BA:
+            for packet in op.keyframes:
+                self._ingest_keyframe(packet)
+            if op.points_xyz is not None and len(op.points_xyz) >= \
+                    self.mp.min_num_inactive_geo_densify:
+                if self.state is not None:
+                    self.state = G.increase_pcd(
+                        self.state, op.points_xyz, op.points_color,
+                        self.iteration)
+                else:
+                    self._pending_points.append(
+                        (op.points_xyz, op.points_color))
+            elif op.points_xyz is not None and self.state is None:
+                self._pending_points.append(
+                    (op.points_xyz, op.points_color))
+        elif op.kind == OpKind.LOOP_CLOSE_BA:
+            self._handle_loop_closure(op)
+        elif op.kind == OpKind.SCALE_REFINEMENT:
+            self._handle_scale_refinement(op)
+
+    def _handle_loop_closure(self, op: MappingOperation) -> None:
+        """Per-KF pose-delta check -> masked point surgery
+        (gaussian_mapper.cpp:878-979)."""
+        if self.state is None:
+            for packet in op.keyframes:
+                self._ingest_keyframe(packet)
+            return
+        not_transformed = jnp.ones((self.capacity,), bool)
+        for packet in op.keyframes:
+            old = self.keyframes.get(packet.fid)
+            if old is None:
+                self._ingest_keyframe(packet)
+                continue
+            old_w2c = np.eye(4, dtype=np.float32)
+            old_w2c[:3, :3], old_w2c[:3, 3] = old.R, old.t
+            new_w2c = np.eye(4, dtype=np.float32)
+            new_w2c[:3, :3], new_w2c[:3, 3] = packet.R, packet.t
+            diff = np.linalg.inv(new_w2c) @ old_w2c  # old-cam -> new-cam in world
+            big_rot = rotation_angle_deg(diff[:3, :3]) > self.mp.large_rot_th
+            big_trans = np.linalg.norm(diff[:3, 3]) > self.mp.large_trans_th
+            if big_rot or big_trans:
+                w2v = jnp.asarray(old_w2c)
+                self.state, not_transformed, _ = G.transform_visible_points(
+                    self.state, not_transformed,
+                    jnp.asarray(diff[:3, :3]), jnp.asarray(diff[:3, 3]),
+                    w2v, old.creation_iter,
+                    self.mp.stable_num_iter_existence, op.scale)
+            old.set_pose(packet.R, packet.t, self.intr["fx"],
+                         self.intr["fy"])
+            old.remaining_times_of_use += \
+                self.mp.loop_closure_increased_times_of_use
+
+    def _handle_scale_refinement(self, op: MappingOperation) -> None:
+        """applyScaledTransformation over the whole map with the op's
+        similarity (gaussian_mapper.cpp:982-1016). The rigid part rides on
+        the op's first keyframe pose delta when available; IMU scale
+        refinements are usually pure scale."""
+        if self.state is not None:
+            self.state = G.apply_scaled_transformation(
+                self.state, op.scale, jnp.eye(3), jnp.zeros(3))
+        for packet in op.keyframes:
+            self._ingest_keyframe(packet)
+
+    # ------------------------------------------------------------------
+    # Phases (run, gaussian_mapper.cpp:361-554)
+    # ------------------------------------------------------------------
+    def has_met_initial_conditions(self) -> bool:
+        return (len(self.keyframes) >= self.mp.min_num_initial_map_kfs or
+                (self.source.is_shutdown() and len(self.keyframes) > 0))
+
+    def initialize_map(self) -> None:
+        pts = [p for p, _ in self._pending_points]
+        cols = [c for _, c in self._pending_points]
+        self._pending_points.clear()
+        if pts:
+            xyz = np.concatenate(pts)
+            rgb = np.concatenate(cols)
+        else:
+            xyz = np.zeros((0, 3), np.float32)
+            rgb = np.zeros((0, 3), np.float32)
+        n = min(xyz.shape[0], self.capacity)
+        self.state = G.create_from_pcd(xyz[:n], rgb[:n], self.capacity)
+        centers = []
+        for kf in self.keyframes.values():
+            centers.append(-(kf.R.T @ kf.t))
+        self.scene_translate, self.cameras_extent = nerfpp_norm(
+            np.asarray(centers, np.float32))
+
+    def drain_operations(self, limit: int = 32) -> None:
+        for _ in range(limit):
+            op = self.source.pop_operation()
+            if op is None:
+                break
+            self.handle_operation(op)
+
+    def _pick_keyframe(self) -> Optional[MapKeyframe]:
+        """Shuffled times-of-use scheduler
+        (useOneRandomSlidingWindowKeyframe, gaussian_mapper.cpp:1158-1204)."""
+        if not self.keyframes:
+            return None
+        self._kf_cycle = [f for f in self._kf_cycle if f in self.keyframes]
+        if not self._kf_cycle:
+            usable = [f for f, kf in self.keyframes.items()
+                      if kf.remaining_times_of_use > 0]
+            if not usable:
+                for kf in self.keyframes.values():
+                    kf.remaining_times_of_use += 1
+                usable = list(self.keyframes)
+            self._rng.shuffle(usable)
+            self._kf_cycle = usable
+        fid = self._kf_cycle.pop()
+        kf = self.keyframes[fid]
+        kf.remaining_times_of_use = max(kf.remaining_times_of_use - 1, 0)
+        kf.record["used"] = kf.record.get("used", 0) + 1
+        return kf
+
+    def train_iteration(self) -> Optional[float]:
+        """One trainForOneIteration (gaussian_mapper.cpp:624-798)."""
+        if self.state is None:
+            return None
+        kf = self._pick_keyframe()
+        if kf is None:
+            return None
+        self.iteration += 1
+        opt = self.opt
+        # SH degree ramp (+1 / sh_degree_interval, gaussian_mapper.cpp:663)
+        if self.iteration % opt.sh_degree_interval == 0 and \
+                self.active_sh_degree < opt.sh_degree:
+            self.active_sh_degree += 1
+
+        lvl = kf.pick_pyramid_level()
+        lvl = min(lvl, len(kf.views) - 1)
+        view = kf.views[lvl]
+        gt_color = kf.gt_color[lvl]
+        gt_depth = kf.gt_depth[lvl]
+        mask = kf.mask[lvl]
+        gt_lf = None
+        include_lf = self.include_lang_feat and kf.gt_lf is not None
+        if include_lf:
+            gt_lf = upsample_lf(kf.gt_lf, view.height, view.width)
+
+        # position LR step = per-KF use count clamped (gm.cpp:671-684)
+        lr_step = min(kf.record.get("used", 1),
+                      self.mp.position_lr_max_steps_slam)
+
+        t0 = time.perf_counter()
+        self.state, aux = train_step(
+            self.state, view.world_view, view.full_proj, view.cam_center,
+            view.tan_fovx, view.tan_fovy, gt_color, gt_lf, gt_depth, mask,
+            self.bg, jnp.asarray(float(lr_step)),
+            float(self.cameras_extent),
+            width=view.width, height=view.height,
+            active_sh_degree=self.active_sh_degree, opt=opt, cfg=self.cfg,
+            include_lang_feat=include_lf, max_per_tile=self.max_per_tile)
+        loss = float(aux.loss)
+        self.timings.append(time.perf_counter() - t0)
+        self.ema_loss = 0.6 * loss + 0.4 * self.ema_loss \
+            if self.iteration > 1 else loss
+
+        # densification schedule (gaussian_mapper.cpp:737-760)
+        if self.iteration < opt.densify_until_iter:
+            if opt.prune_big_point_after_iter and \
+                    self.iteration > opt.prune_big_point_after_iter:
+                self.big_points_on = True
+            if self.iteration > opt.densify_from_iter and \
+                    self.iteration % opt.densification_interval == 0:
+                self.key, sub = jax.random.split(self.key)
+                self.state = G.densify_and_prune(
+                    self.state, sub, opt.densify_grad_threshold,
+                    opt.densify_min_opacity, self.cameras_extent,
+                    opt.max_screen_size if self.big_points_on else None,
+                    opt.percent_dense)
+            if opt.opacity_reset_interval > 0 and \
+                    self.iteration % opt.opacity_reset_interval == 0:
+                self.state = G.reset_opacity(self.state)
+        return loss
+
+    def run(self, max_iterations: Optional[int] = None,
+            tail_iterations: Optional[int] = None) -> None:
+        """Blocking 3-phase lifecycle."""
+        opt = self.opt
+        # Phase 1: initial mapping
+        while not self.has_met_initial_conditions():
+            self.drain_operations()
+            if self.source.is_shutdown() and not self.source.has_operation():
+                break
+            time.sleep(0.001)
+        self.drain_operations(limit=10_000)
+        self.initialize_map()
+        # pending sparse points may still be queued
+        self.train_iteration()
+
+        # Phase 2: incremental
+        limit = max_iterations or opt.iterations
+        while self.iteration < limit:
+            if self.source.is_shutdown() and not self.source.has_operation():
+                break
+            self.drain_operations()
+            self.train_iteration()
+
+        # Phase 3: tail (0.8 * densify_interval extra, gm.cpp:538-546)
+        tail = tail_iterations if tail_iterations is not None else \
+            int(0.8 * opt.densification_interval)
+        for _ in range(tail):
+            if self.iteration >= limit:
+                break
+            self.train_iteration()
+
+    # ------------------------------------------------------------------
+    # Rendering / persistence (renderFromPose :1543, savePly :1679)
+    # ------------------------------------------------------------------
+    def render_from_pose(self, R: np.ndarray, t: np.ndarray, width: int,
+                         height: int, fx: Optional[float] = None,
+                         fy: Optional[float] = None,
+                         include_lang_feat: bool = False):
+        fx = fx if fx is not None else self.intr["fx"]
+        fy = fy if fy is not None else self.intr["fy"]
+        view = CameraView.create(R, t, width, height, fx=fx, fy=fy)
+        st = self.state
+        return rasterize(
+            st.params.xyz, st.sh(), st.params.lang_feat, st.opacities(),
+            st.scales(), st.params.rotation, st.valid, view, self.bg,
+            self.active_sh_degree, self.cfg,
+            include_lang_feat=include_lang_feat,
+            max_per_tile=self.max_per_tile)
+
+    def save(self, subdir: str = "experiment") -> str:
+        """Write the reference's run-output layout (SURVEY.md §3.6):
+        <out>/<subdir>/ply/point_cloud/point_cloud.ply, input.ply,
+        cameras.json, cfg_args."""
+        base = os.path.join(self.result_dir, subdir, "ply")
+        os.makedirs(os.path.join(base, "point_cloud"), exist_ok=True)
+        st = self.state
+        valid = np.asarray(st.valid)
+        p = st.params
+        ply.save_gaussian_ply(
+            os.path.join(base, "point_cloud", "point_cloud.ply"),
+            np.asarray(p.xyz)[valid], np.asarray(p.f_dc)[valid],
+            np.asarray(p.f_rest)[valid], np.asarray(p.lang_feat)[valid],
+            np.asarray(p.opacity)[valid], np.asarray(p.scaling)[valid],
+            np.asarray(p.rotation)[valid])
+        ply.save_point_ply(os.path.join(base, "input.ply"),
+                           np.asarray(p.xyz)[valid])
+        cams = []
+        for fid, kf in sorted(self.keyframes.items()):
+            v = kf.views[-1]
+            c2w_R = kf.R.T
+            center = -(kf.R.T @ kf.t)
+            cams.append(dict(
+                id=int(fid), img_name=f"{fid:06d}", width=v.width,
+                height=v.height, position=[float(x) for x in center],
+                rotation=[[float(x) for x in row] for row in c2w_R],
+                fx=float(v.focal_x), fy=float(v.focal_y)))
+        with open(os.path.join(base, "cameras.json"), "w") as f:
+            json.dump(cams, f)
+        with open(os.path.join(base, "cfg_args"), "w") as f:
+            f.write("Namespace(data_device='tpu', eval=False, "
+                    f"images='images', model_path='{base}', resolution=-1, "
+                    "sh_degree=3, white_background=False)\n")
+        return base
+
+    def record_keyframe_metrics(self, subdir: str = "experiment") -> dict:
+        """renderAndRecordAllKeyframes equivalent: per-KF PSNR/DSSIM/render
+        time artifacts (gaussian_mapper.cpp:1592-1677)."""
+        out_dir = os.path.join(self.result_dir, subdir)
+        os.makedirs(out_dir, exist_ok=True)
+        psnrs, dssims, times = [], [], []
+        for fid, kf in sorted(self.keyframes.items()):
+            t0 = time.perf_counter()
+            out = self.render_from_pose(
+                kf.R, kf.t, kf.views[-1].width, kf.views[-1].height)
+            jax.block_until_ready(out.color)
+            dt = (time.perf_counter() - t0) * 1e3
+            gt = kf.gt_color[-1]
+            psnrs.append(float(losses.psnr_gaussian_splatting(out.color, gt)))
+            dssims.append(float(1.0 - losses.ssim(out.color, gt)))
+            times.append(dt)
+        for name, vals in (("psnr_gaussian_splatting.txt", psnrs),
+                           ("dssim.txt", dssims),
+                           ("render_time.txt", times)):
+            with open(os.path.join(out_dir, name), "w") as f:
+                f.writelines(f"{v}\n" for v in vals)
+        return dict(psnr=float(np.mean(psnrs)) if psnrs else 0.0,
+                    dssim=float(np.mean(dssims)) if dssims else 0.0,
+                    render_ms=float(np.mean(times)) if times else 0.0)

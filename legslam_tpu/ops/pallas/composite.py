@@ -1,0 +1,268 @@
+"""Pallas TPU kernel: per-tile front-to-back compositing (forward).
+
+This is the TPU-native replacement for the reference's renderCUDA
+(cuda_rasterizer/forward.cu:261-392). Key mapping of the CUDA design onto
+the TPU architecture:
+
+  * CUDA: one thread block per 8x8 tile, one thread per pixel, warp-level
+    fetch of 64-gaussian batches into shared memory, sequential alpha
+    blending per pixel with warp-vote early exit.
+  * TPU: one grid program per 16x128 tile (lane-aligned); pair data for the
+    tile is DMA'd from HBM in depth-ordered chunks; per-chunk alphas are a
+    [npix, chunk] VPU computation; the front-to-back recurrence becomes a
+    log-space prefix sum computed as a [npix, chunk] x [chunk, chunk]
+    upper-triangular MXU matmul; channel accumulation (RGB + 64-D language
+    features + depth) is a [npix, chunk] x [chunk, C] MXU matmul; early
+    termination is a scalar `while_loop` break when every pixel's
+    transmittance crosses 1e-4 (forward.cu:353-357 semantics: the
+    contribution test uses the all-alpha running product, which is
+    monotone, so per-pixel termination freezes exactly like the reference).
+
+Pair arrays are pre-gathered in sorted (tile, depth) order by
+ops/binning.py + XLA gathers, so every DMA here is a contiguous slice and
+the backward pass can write per-pair gradients without atomics.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from legslam_tpu.config import ALPHA_MAX, ALPHA_MIN, T_TERMINATE
+
+# pair_geo row layout ([GEO_ROWS, PAIRS]):
+GEO_X, GEO_Y, GEO_A, GEO_B, GEO_C, GEO_OP = 0, 1, 2, 3, 4, 5
+GEO_ROWS = 8  # padded to the f32 sublane tile
+
+LOG_TERM = float(np.log(T_TERMINATE))
+
+
+def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
+                    out_ref, tfin_ref, *, chunk: int, tile_w: int,
+                    tile_h: int, ntx: int, c_out: int, pairs_pad: int):
+    t = pl.program_id(0)
+    npix = tile_h * tile_w
+    start = tile_start[t]
+    count = tile_count[t]
+    n_chunks = (count + chunk - 1) // chunk
+
+    tx = (t % ntx) * tile_w
+    ty = (t // ntx) * tile_h
+    # flattened pixel coordinates [npix, 1]
+    pix_lin = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
+    px = (tx + pix_lin % tile_w).astype(jnp.float32)
+    py = (ty + pix_lin // tile_w).astype(jnp.float32)
+
+    def body(geo_buf, feat_buf, geo_sem, feat_sem):
+        def fetch(k):
+            # tile ranges are chunk-aligned by prepare_pairs, so the DMA
+            # offset is provably lane-tile aligned
+            off = pl.multiple_of(start + k * chunk, chunk)
+            g = pltpu.make_async_copy(
+                geo_hbm.at[:, pl.ds(off, chunk)], geo_buf, geo_sem)
+            f = pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(off, chunk), :], feat_buf, feat_sem)
+            g.start()
+            f.start()
+            g.wait()
+            f.wait()
+            return off
+
+        def step(carry):
+            k, log_t_all, log_t_fin, acc = carry
+            off = fetch(k)
+            # lane-broadcast rows [1, chunk]
+            gx = geo_buf[GEO_X:GEO_X + 1, :]
+            gy = geo_buf[GEO_Y:GEO_Y + 1, :]
+            ca = geo_buf[GEO_A:GEO_A + 1, :]
+            cb = geo_buf[GEO_B:GEO_B + 1, :]
+            cc = geo_buf[GEO_C:GEO_C + 1, :]
+            op = geo_buf[GEO_OP:GEO_OP + 1, :]
+
+            dx = gx - px          # [npix, chunk]
+            dy = gy - py
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+
+            # in-range mask: this chunk may overrun the tile's pair range
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            in_range = (off + lane) < (start + count)
+
+            alpha = op * jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.minimum(alpha, ALPHA_MAX)
+            keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
+            alpha = jnp.where(keep, alpha, 0.0)
+
+            log1m = jnp.log1p(-alpha)
+            # exclusive prefix along the chunk axis via triangular matmul
+            prefix = jax.lax.dot_general(
+                log1m, uexcl[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            log_t_exc = log_t_all + prefix
+            log_t_inc = log_t_exc + log1m
+            contrib = log_t_inc >= LOG_TERM
+            w = jnp.where(contrib, alpha * jnp.exp(log_t_exc), 0.0)
+
+            acc = acc + jax.lax.dot_general(
+                w, feat_buf[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            log_t_all = log_t_all + jnp.sum(log1m, axis=1, keepdims=True)
+            log_t_fin = log_t_fin + jnp.sum(
+                jnp.where(contrib, log1m, 0.0), axis=1, keepdims=True)
+            return k + 1, log_t_all, log_t_fin, acc
+
+        def cond(carry):
+            k, log_t_all, _, _ = carry
+            alive = jnp.max(log_t_all) >= LOG_TERM
+            return (k < n_chunks) & alive
+
+        init = (jnp.zeros((), jnp.int32),
+                jnp.zeros((npix, 1), jnp.float32),
+                jnp.zeros((npix, 1), jnp.float32),
+                jnp.zeros((npix, c_out), jnp.float32))
+        _, _, log_t_fin, acc = jax.lax.while_loop(cond, step, init)
+        out_ref[0] = acc
+        tfin_ref[0] = jnp.exp(log_t_fin)
+
+    pl.run_scoped(
+        body,
+        geo_buf=pltpu.VMEM((GEO_ROWS, chunk), jnp.float32),
+        feat_buf=pltpu.VMEM((chunk, c_out), jnp.float32),
+        geo_sem=pltpu.SemaphoreType.DMA,
+        feat_sem=pltpu.SemaphoreType.DMA,
+    )
+
+
+def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
+                  opacity: jnp.ndarray, feats: jnp.ndarray,
+                  max_pairs: int, chunk: int = 256):
+    """Gather per-pair arrays into a CHUNK-ALIGNED (tile, depth) layout.
+
+    Each tile's pair run starts at a multiple of `chunk` so the kernel's
+    dynamic-offset DMAs are provably lane-tile aligned (Mosaic requires
+    alignment proofs on dim-1 slices). Slack slots between runs carry
+    opacity 0 and are additionally masked by the per-tile count. Total
+    aligned capacity is max_pairs + ntiles*chunk (static).
+
+    Returns (astart [ntiles], count [ntiles], pair_geo [8, PAD],
+    pair_feats [PAD, C_pad]).
+    """
+    ntiles = binning.tile_start.shape[0]
+    count = jnp.minimum(binning.tile_count, max_pairs)
+    acount = -(-count // chunk) * chunk
+    astart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(acount).astype(jnp.int32)])[:-1]
+    pairs_pad = max_pairs + ntiles * chunk
+
+    # source pair index for every aligned slot
+    slot = jnp.arange(pairs_pad, dtype=jnp.int32)
+    tile_of = jnp.searchsorted(astart, slot, side="right").astype(
+        jnp.int32) - 1
+    within = slot - astart[tile_of]
+    live = within < count[tile_of]
+    src = jnp.where(live, binning.tile_start[tile_of] + within, 0)
+    gid = jnp.where(live, binning.pair_gid[src], 0)
+
+    m2 = mean2d[gid]
+    cn = conic[gid]
+    op = jnp.where(live, opacity[gid], 0.0)
+    zeros = jnp.zeros_like(op)
+    geo = jnp.stack([m2[:, 0], m2[:, 1], cn[:, 0], cn[:, 1], cn[:, 2], op,
+                     zeros, zeros], axis=0)
+    c = feats.shape[1]
+    c_pad = -(-c // 8) * 8
+    pf = feats[gid] * live[:, None]
+    if c_pad != c:
+        pf = jnp.pad(pf, ((0, 0), (0, c_pad - c)))
+    return astart, count.astype(jnp.int32), geo, pf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
+                     "interpret"))
+def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
+                           pair_geo: jnp.ndarray, pair_feats: jnp.ndarray,
+                           *, tile_w: int, tile_h: int, ntx: int,
+                           ntiles: int, chunk: int = 256,
+                           interpret: bool = False):
+    """Run the forward compositing kernel.
+
+    Args:
+      tile_start/tile_count: [ntiles] int32 ranges into the pair arrays.
+      pair_geo: [8, PAIRS_PAD] f32 rows (x, y, conic a/b/c, opacity, pad).
+      pair_feats: [PAIRS_PAD, C] f32 blend features (rgb+lf+depth, padded
+        lanes OK).
+
+    Returns (acc [ntiles, npix, C], t_final [ntiles, npix, 1]).
+    """
+    pairs_pad = pair_geo.shape[1]
+    c_out = pair_feats.shape[1]
+    npix = tile_h * tile_w
+    # strictly-upper-triangular ones: prefix[j] = sum_{k<j} x[k]
+    uexcl = jnp.triu(jnp.ones((chunk, chunk), jnp.float32), k=1)
+
+    kernel = functools.partial(
+        _forward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
+        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # geo (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # feats (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # uexcl
+        ],
+        out_specs=[
+            pl.BlockSpec((1, npix, c_out), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npix, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    acc, tfin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles, npix, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, npix, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(tile_start, tile_count, pair_geo, pair_feats, uexcl)
+    return acc, tfin
+
+
+def composite_image_pallas(binning, mean2d, conic, opacity, feats,
+                           width: int, height: int, tile_w: int, tile_h: int,
+                           max_pairs: int, chunk: int = 256,
+                           interpret: bool = False):
+    """Full-image forward compositing via the Pallas kernel.
+
+    Returns (img [H, W, C], t_final [H, W]) with C = feats channel count.
+    """
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    ntiles = ntx * nty
+    c = feats.shape[1]
+    start, count, geo, pf = prepare_pairs(
+        binning, mean2d, conic, opacity, feats, max_pairs, chunk)
+    acc, tfin = composite_tiles_pallas(
+        start, count, geo, pf, tile_w=tile_w, tile_h=tile_h, ntx=ntx,
+        ntiles=ntiles, chunk=chunk, interpret=interpret)
+    c_out = acc.shape[-1]
+    img = acc.reshape(nty, ntx, tile_h, tile_w, c_out)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        nty * tile_h, ntx * tile_w, c_out)[:height, :width, :c]
+    tf = tfin.reshape(nty, ntx, tile_h, tile_w)
+    tf = tf.transpose(0, 2, 1, 3).reshape(
+        nty * tile_h, ntx * tile_w)[:height, :width]
+    return img, tf
