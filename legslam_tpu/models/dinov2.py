@@ -1,0 +1,252 @@
+"""DINOv2 ViT-B/14 (with registers) in Flax — the language-feature backbone.
+
+TPU-native replacement for the reference's ONNX-Runtime DINOv2 encoder
+(src/encoder_models.cpp:33-115, cfg/encoder/pca_encoder_scannet.yaml):
+518x518 input -> 37x37 patch grid -> 12 transformer blocks (dim 768,
+12 heads, MLP x4, LayerScale) -> final LayerNorm -> `x_norm_patchtokens`
+[1369, 768]. Weight layout converters accept both the HF
+Dinov2WithRegisters state dict and the torch-hub dinov2 checkpoint naming.
+
+Runs fused+jitted in bf16 on the MXU; the PCA compression matmul
+(models/pca.py) fuses into the same graph, replacing the reference's
+two-session ONNX pipeline (src/language_features_encoder.cpp:83-89).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legslam_tpu.config import (
+    ENCODER_FEAT_DIM,
+    ENCODER_INPUT_SIZE,
+    ENCODER_PATCH,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoV2Config:
+    image_size: int = ENCODER_INPUT_SIZE
+    patch_size: int = ENCODER_PATCH
+    dim: int = ENCODER_FEAT_DIM
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    num_registers: int = 4
+    layer_norm_eps: float = 1e-6
+    # native grid the positional embedding was trained at (dinov2 = 518/14)
+    pos_grid: int = 37
+
+
+def init_params(cfg: DinoV2Config, key: jax.Array) -> dict:
+    """Random-init parameter pytree (shapes == converted checkpoints)."""
+    d = cfg.dim
+    n_pos = cfg.pos_grid * cfg.pos_grid + 1
+    keys = jax.random.split(key, 8 + cfg.depth)
+
+    def dense(k, din, dout):
+        return dict(kernel=jax.random.normal(k, (din, dout)) * 0.02,
+                    bias=jnp.zeros((dout,)))
+
+    def block(k):
+        ks = jax.random.split(k, 6)
+        return dict(
+            norm1=dict(scale=jnp.ones((d,)), bias=jnp.zeros((d,))),
+            qkv=dense(ks[0], d, 3 * d),
+            proj=dense(ks[1], d, d),
+            ls1=jnp.full((d,), 1e-5),
+            norm2=dict(scale=jnp.ones((d,)), bias=jnp.zeros((d,))),
+            fc1=dense(ks[2], d, int(d * cfg.mlp_ratio)),
+            fc2=dense(ks[3], int(d * cfg.mlp_ratio), d),
+            ls2=jnp.full((d,), 1e-5),
+        )
+
+    params = dict(
+        patch_embed=dict(
+            kernel=jax.random.normal(
+                keys[0], (cfg.patch_size, cfg.patch_size, 3, d)) * 0.02,
+            bias=jnp.zeros((d,))),
+        cls_token=jax.random.normal(keys[1], (1, 1, d)) * 0.02,
+        register_tokens=jax.random.normal(
+            keys[2], (1, cfg.num_registers, d)) * 0.02,
+        pos_embed=jax.random.normal(keys[3], (1, n_pos, d)) * 0.02,
+        blocks=[block(keys[8 + i]) for i in range(cfg.depth)],
+        norm=dict(scale=jnp.ones((d,)), bias=jnp.zeros((d,))),
+    )
+    return params
+
+
+def _ln(x, p, eps):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _attn(x, p, heads):
+    b, n, d = x.shape
+    hd = d // heads
+    qkv = x @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+    return out @ p["proj"]["kernel"] + p["proj"]["bias"]
+
+
+def _block(x, p, cfg: DinoV2Config):
+    h = _attn(_ln(x, p["norm1"], cfg.layer_norm_eps), p, cfg.heads)
+    x = x + p["ls1"] * h
+    h = _ln(x, p["norm2"], cfg.layer_norm_eps)
+    h = h @ p["fc1"]["kernel"] + p["fc1"]["bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+    return x + p["ls2"] * h
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, grid: int,
+                          native_grid: int) -> jnp.ndarray:
+    """Bicubic-resize patch position embeddings to a new grid (dinov2's
+    interpolate_pos_encoding; identity at the native 37x37)."""
+    if grid == native_grid:
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:]
+    d = patch_pos.shape[-1]
+    patch_pos = patch_pos.reshape(1, native_grid, native_grid, d)
+    patch_pos = jax.image.resize(patch_pos, (1, grid, grid, d), "bicubic")
+    return jnp.concatenate([cls_pos, patch_pos.reshape(1, grid * grid, d)],
+                           axis=1)
+
+
+def forward(params: dict, images: jnp.ndarray, cfg: DinoV2Config,
+            dtype=jnp.float32) -> jnp.ndarray:
+    """images [B, H, W, 3] (already ImageNet-normalized) ->
+    x_norm_patchtokens [B, (H/14)*(W/14), 768] (float32)."""
+    b, h, w, _ = images.shape
+    gh, gw = h // cfg.patch_size, w // cfg.patch_size
+    x = jax.lax.conv_general_dilated(
+        images.astype(dtype),
+        params["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = x.reshape(b, gh * gw, cfg.dim) + params["patch_embed"]["bias"]
+
+    pos = interpolate_pos_embed(params["pos_embed"], gh, cfg.pos_grid)
+    cls_tok = params["cls_token"] + pos[:, :1]
+    x = x + pos[:, 1:]
+    regs = jnp.broadcast_to(params["register_tokens"],
+                            (b, cfg.num_registers, cfg.dim))
+    x = jnp.concatenate(
+        [jnp.broadcast_to(cls_tok, (b, 1, cfg.dim)).astype(dtype),
+         regs.astype(dtype), x], axis=1)
+
+    for blk in params["blocks"]:
+        x = _block(x, jax.tree.map(lambda t: t.astype(dtype), blk), cfg)
+
+    x = _ln(x.astype(jnp.float32), params["norm"], cfg.layer_norm_eps)
+    return x[:, 1 + cfg.num_registers:]
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion
+# ---------------------------------------------------------------------------
+
+def convert_torch_hub(sd: dict, cfg: Optional[DinoV2Config] = None) -> dict:
+    """torch-hub dinov2_vitb14_reg state dict -> our pytree."""
+    cfg = cfg or DinoV2Config()
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]))
+
+    def dense(prefix):
+        return dict(kernel=t(prefix + ".weight").T,
+                    bias=t(prefix + ".bias"))
+
+    blocks = []
+    for i in range(cfg.depth):
+        p = f"blocks.{i}."
+        blocks.append(dict(
+            norm1=dict(scale=t(p + "norm1.weight"), bias=t(p + "norm1.bias")),
+            qkv=dense(p + "attn.qkv"),
+            proj=dense(p + "attn.proj"),
+            ls1=t(p + "ls1.gamma"),
+            norm2=dict(scale=t(p + "norm2.weight"), bias=t(p + "norm2.bias")),
+            fc1=dense(p + "mlp.fc1"),
+            fc2=dense(p + "mlp.fc2"),
+            ls2=t(p + "ls2.gamma"),
+        ))
+    return dict(
+        patch_embed=dict(
+            # torch conv [out, in, kh, kw] -> HWIO
+            kernel=t("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+            bias=t("patch_embed.proj.bias")),
+        cls_token=t("cls_token"),
+        register_tokens=t("register_tokens"),
+        pos_embed=t("pos_embed"),
+        blocks=blocks,
+        norm=dict(scale=t("norm.weight"), bias=t("norm.bias")),
+    )
+
+
+def convert_hf(sd: dict, cfg: Optional[DinoV2Config] = None) -> dict:
+    """HF Dinov2WithRegistersModel state dict -> our pytree."""
+    cfg = cfg or DinoV2Config()
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]))
+
+    def dense(prefix):
+        return dict(kernel=t(prefix + ".weight").T,
+                    bias=t(prefix + ".bias"))
+
+    blocks = []
+    for i in range(cfg.depth):
+        p = f"encoder.layer.{i}."
+        q = dense(p + "attention.attention.query")
+        k = dense(p + "attention.attention.key")
+        v = dense(p + "attention.attention.value")
+        qkv = dict(
+            kernel=jnp.concatenate([q["kernel"], k["kernel"], v["kernel"]],
+                                   axis=1),
+            bias=jnp.concatenate([q["bias"], k["bias"], v["bias"]]))
+        blocks.append(dict(
+            norm1=dict(scale=t(p + "norm1.weight"), bias=t(p + "norm1.bias")),
+            qkv=qkv,
+            proj=dense(p + "attention.output.dense"),
+            ls1=t(p + "layer_scale1.lambda1"),
+            norm2=dict(scale=t(p + "norm2.weight"), bias=t(p + "norm2.bias")),
+            fc1=dense(p + "mlp.fc1"),
+            fc2=dense(p + "mlp.fc2"),
+            ls2=t(p + "layer_scale2.lambda1"),
+        ))
+    return dict(
+        patch_embed=dict(
+            kernel=t("embeddings.patch_embeddings.projection.weight")
+            .transpose(2, 3, 1, 0),
+            bias=t("embeddings.patch_embeddings.projection.bias")),
+        cls_token=t("embeddings.cls_token"),
+        register_tokens=t("embeddings.register_tokens"),
+        pos_embed=t("embeddings.position_embeddings"),
+        blocks=blocks,
+        norm=dict(scale=t("layernorm.weight"), bias=t("layernorm.bias")),
+    )
+
+
+def imagenet_normalize(rgb: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] RGB in [0,1] -> ImageNet-normalized
+    (include/encoder_models.h:81-82)."""
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (rgb - mean) / std
