@@ -1,0 +1,108 @@
+"""CLI: online RGB-D mapping over a dataset (examples/replica_rgbd.cpp).
+
+Usage (mirrors the reference CLI contract, examples/replica_rgbd.cpp:49-61):
+
+  python -m legslam_tpu.apps.replica_rgbd \
+      --data /path/to/Replica/office0 --out ./output/office0 \
+      [--kf-stride 8] [--max-frames N] [--capacity 262144] \
+      [--encoder-weights dir] [--no-lf]
+
+Prints per-run "Average FPS" and "Total time" lines like the reference
+(examples/replica_rgbd.cpp:196-199) and writes the experiment/ply artifact
+tree plus TrackingTime.txt and trajectory files.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--out", default="./output/run")
+    parser.add_argument("--kf-stride", type=int, default=8)
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--capacity", type=int, default=1 << 18)
+    parser.add_argument("--iters-per-frame", type=int, default=1)
+    parser.add_argument("--encoder-weights", default=None,
+                        help="dir with dinov2.npz/pca.npz for the LF encoder")
+    parser.add_argument("--no-lf", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from legslam_tpu.data.datasets import open_dataset
+    from legslam_tpu.mapper.mapper import GaussianMapper
+    from legslam_tpu.slam.trajectory import TrajectoryFrontend
+    from legslam_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    ds = open_dataset(args.data)
+    frontend = TrajectoryFrontend(ds.intrinsics, kf_stride=args.kf_stride)
+    mapper = GaussianMapper(frontend.queue, ds.intrinsics,
+                            capacity=args.capacity, result_dir=args.out,
+                            seed=args.seed,
+                            include_lang_feat=not args.no_lf)
+
+    encoder = None
+    if args.encoder_weights and not args.no_lf:
+        from legslam_tpu.models.weights_io import load_encoder
+        encoder = load_encoder(args.encoder_weights)
+
+    n = len(ds) if args.max_frames is None else min(len(ds),
+                                                    args.max_frames)
+    track_times = []
+    t_start = time.perf_counter()
+    it = iter(ds.iter_prefetched())
+    for i in range(n):
+        frame = next(it)
+        t0 = time.perf_counter()
+        lf = None
+        if encoder is not None:
+            lf = np.asarray(encoder.create_language_features(frame.color))
+        frontend.track(frame, lf_image=lf)
+        mapper.drain_operations()
+        if mapper.state is None and mapper.has_met_initial_conditions():
+            mapper.initialize_map()
+        if mapper.state is not None:
+            for _ in range(args.iters_per_frame):
+                mapper.train_iteration()
+        track_times.append(time.perf_counter() - t0)
+    total = time.perf_counter() - t_start
+    frontend.finish()
+
+    # tail optimization + artifacts (gaussian_mapper.cpp:538-553)
+    for _ in range(int(0.8 * mapper.opt.densification_interval)):
+        mapper.train_iteration()
+    base = mapper.save("experiment")
+    stats = mapper.record_keyframe_metrics("experiment")
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "TrackingTime.txt"), "w") as f:
+        f.writelines(f"{t}\n" for t in track_times)
+    # TUM-format trajectory (GT-pose frontend: poses are the input poses)
+    with open(os.path.join(args.out, "CameraTrajectory_TUM.txt"), "w") as f:
+        for fid, kf in sorted(mapper.keyframes.items()):
+            c2w_R = kf.R.T
+            c = -(kf.R.T @ kf.t)
+            from legslam_tpu.models.gaussians import rotmat_to_quat
+            import jax.numpy as jnp
+            q = np.asarray(rotmat_to_quat(jnp.asarray(c2w_R)))
+            f.write(f"{kf.timestamp} {c[0]} {c[1]} {c[2]} "
+                    f"{q[1]} {q[2]} {q[3]} {q[0]}\n")
+
+    print(f"Total time: {total:.2f}")
+    print(f"Average FPS: {n / total:.3f}")
+    print(f"Keyframes: {len(mapper.keyframes)}  "
+          f"Gaussians: {int(mapper.state.num_valid())}  "
+          f"Iterations: {mapper.iteration}")
+    print(f"PSNR-GS: {stats['psnr']:.2f}  DSSIM: {stats['dssim']:.4f}  "
+          f"render: {stats['render_ms']:.1f} ms")
+    print(f"Artifacts: {base}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""ScanNet evaluation harness (C27: eval/scannet_test.py equivalent).
+
+Adds open-vocabulary semantic segmentation scoring on top of the Replica
+photometric harness: per-frame rendered language features -> per-pixel
+argmax over class text embeddings with the (1-cos)/2 >= 0.7 rejection rule
+(eval/scannet_test.py:295-310), confusion matrix -> mIoU/mAcc
+(eval/metric_utils.py:96-197), every-Nth-frame subsampling (:273).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from legslam_tpu.eval_harness import metrics
+from legslam_tpu.eval_harness.replica_eval import run_scene
+
+
+def load_label_mapping(tsv_path: str, target_col: str = "nyu40id") -> dict:
+    """scannetv2-labels TSV id mapping (tools layout)."""
+    mapping = {}
+    with open(tsv_path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        id_i = header.index("id")
+        tgt_i = header.index(target_col)
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) <= max(id_i, tgt_i):
+                continue
+            try:
+                mapping[int(parts[id_i])] = int(parts[tgt_i])
+            except ValueError:
+                continue
+    return mapping
+
+
+def evaluate_segmentation(mapper, text_embs: np.ndarray,
+                          gt_label_loader, frame_ids: Sequence[int],
+                          num_classes: int,
+                          every_nth: int = 10,
+                          reject_threshold: float = 0.7) -> dict:
+    """Score open-vocab segmentation over keyframes.
+
+    gt_label_loader: callable fid -> [H, W] int labels (0 = unannotated).
+    text_embs: [num_classes-1, 64] compressed class embeddings (class ids
+    are 1-based; 0 is the reject class).
+    """
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    for k, fid in enumerate(sorted(frame_ids)):
+        if k % every_nth:
+            continue
+        kf = mapper.keyframes.get(fid)
+        if kf is None:
+            continue
+        out = mapper.render_from_pose(
+            kf.R, kf.t, kf.views[-1].width, kf.views[-1].height,
+            include_lang_feat=True)
+        lf = np.asarray(out.lang_feat)
+        pred = metrics.segment_prediction(lf, text_embs, reject_threshold)
+        gt = gt_label_loader(fid)
+        if gt.shape != pred.shape:
+            try:
+                import cv2
+                gt = cv2.resize(gt.astype(np.int32),
+                                (pred.shape[1], pred.shape[0]),
+                                interpolation=cv2.INTER_NEAREST)
+            except ImportError:  # pragma: no cover
+                continue
+        conf += metrics.confusion_matrix(pred, gt, num_classes)
+    scores = metrics.miou_from_confusion(conf, ignore=(0,))
+    scores["confusion"] = conf
+    return scores
+
+
+def evaluate_scenes(data_root: str, out_root: str, scenes: Sequence[str],
+                    text_embs: Optional[np.ndarray] = None,
+                    label_loader_factory=None, exp_name: str = "legslam_tpu",
+                    **kwargs) -> list[dict]:
+    results = []
+    for scene in scenes:
+        scene_dir = os.path.join(data_root, scene)
+        if not os.path.isdir(scene_dir):
+            continue
+        out_dir = os.path.join(out_root, scene)
+        r = run_scene(scene_dir, out_dir, **kwargs)
+        results.append(r)
+    os.makedirs(out_root, exist_ok=True)
+    with open(os.path.join(out_root, f"eval_result_{exp_name}.log"),
+              "w") as f:
+        for r in results:
+            f.write(json.dumps({k: v for k, v in r.items()
+                                if not isinstance(v, np.ndarray)}) + "\n")
+    return results

@@ -176,7 +176,7 @@ def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
     geo = jnp.stack([m2[:, 0], m2[:, 1], cn[:, 0], cn[:, 1], cn[:, 2], op,
                      zeros, zeros], axis=0)
     c = feats.shape[1]
-    c_pad = -(-c // 8) * 8
+    c_pad = -(-c // 128) * 128  # lane-tile alignment for the HBM DMA slices
     pf = feats[gid] * live[:, None]
     if c_pad != c:
         pf = jnp.pad(pf, ((0, 0), (0, c_pad - c)))

@@ -1,0 +1,47 @@
+"""Runtime setup helpers: compilation cache, platform switches, profiling.
+
+The axon remote-compile path can take minutes per executable; the
+persistent compilation cache makes warm starts instant across processes.
+(The reference has no analogue — CUDA kernels are AOT-built; SURVEY.md §5
+tracing notes.)
+"""
+from __future__ import annotations
+
+import os
+import time
+from contextlib import contextmanager
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path or _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def force_cpu(n_devices: int = 8) -> None:
+    """Switch an already-initialized process to CPU (tests/tools)."""
+    import jax
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.clear_backends()
+    except AttributeError:
+        from jax.extend import backend as jeb
+        jeb.clear_backends()
+
+
+@contextmanager
+def timed(label: str, sink: list | None = None):
+    t0 = time.perf_counter()
+    yield
+    dt = time.perf_counter() - t0
+    if sink is not None:
+        sink.append((label, dt))

@@ -1,0 +1,88 @@
+"""Convert reference model artifacts into legslam_tpu .npz layouts.
+
+Sources (any subset; all optional):
+  --dinov2-hub PATH       torch-hub dinov2_vitb14_reg checkpoint (.pth)
+  --dinov2-hf  NAME/DIR   HF Dinov2WithRegistersModel name or local dir
+  --pca-onnx  PATH        reference pca_text_emb64_*.onnx
+  --clip-openai PATH      OpenAI CLIP ViT-B/16 state dict (.pt)
+  --clip-hf  NAME/DIR     HF CLIPTextModelWithProjection name or dir
+  --talk2dino PATH        weights/vitb_mlp_infonce.pth
+
+Outputs <out>/dinov2.npz, pca.npz, clip_text.npz, talk2dino_proj.npz.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", required=True)
+    p.add_argument("--dinov2-hub")
+    p.add_argument("--dinov2-hf")
+    p.add_argument("--pca-onnx")
+    p.add_argument("--clip-openai")
+    p.add_argument("--clip-hf")
+    p.add_argument("--talk2dino")
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    from legslam_tpu.models import clip_text as CT
+    from legslam_tpu.models import dinov2 as D
+    from legslam_tpu.models import pca as PCA
+    from legslam_tpu.models import talk2dino as T2D
+    from legslam_tpu.models.weights_io import save_params
+
+    if args.dinov2_hub:
+        import torch
+        sd = torch.load(args.dinov2_hub, map_location="cpu",
+                        weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        save_params(os.path.join(args.out, "dinov2.npz"),
+                    D.convert_torch_hub(sd))
+        print("wrote dinov2.npz (torch-hub)")
+    elif args.dinov2_hf:
+        from transformers import Dinov2WithRegistersModel
+        model = Dinov2WithRegistersModel.from_pretrained(args.dinov2_hf)
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        save_params(os.path.join(args.out, "dinov2.npz"), D.convert_hf(sd))
+        print("wrote dinov2.npz (hf)")
+
+    if args.pca_onnx:
+        PCA.save(os.path.join(args.out, "pca.npz"),
+                 PCA.from_onnx(args.pca_onnx))
+        print("wrote pca.npz")
+
+    if args.clip_openai:
+        import torch
+        obj = torch.load(args.clip_openai, map_location="cpu",
+                         weights_only=False)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        sd = {k: np.asarray(v.float()) for k, v in sd.items()}
+        save_params(os.path.join(args.out, "clip_text.npz"),
+                    CT.convert_openai(sd))
+        print("wrote clip_text.npz (openai)")
+    elif args.clip_hf:
+        from transformers import CLIPTextModelWithProjection
+        model = CLIPTextModelWithProjection.from_pretrained(args.clip_hf)
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        save_params(os.path.join(args.out, "clip_text.npz"),
+                    CT.convert_hf(sd))
+        print("wrote clip_text.npz (hf)")
+
+    if args.talk2dino:
+        proj = T2D.load_projection(args.talk2dino)
+        save_params(os.path.join(args.out, "talk2dino_proj.npz"), dict(
+            linear_w=proj.linear_w, linear_b=proj.linear_b,
+            hidden_ws=list(proj.hidden_ws), hidden_bs=list(proj.hidden_bs)))
+        print("wrote talk2dino_proj.npz")
+
+
+if __name__ == "__main__":
+    main()
