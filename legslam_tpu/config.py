@@ -139,15 +139,21 @@ class RasterizeConfig:
 
     tile_h: int = TILE_H
     tile_w: int = TILE_W
-    # static cap of (gaussian, tile) pairs processed per frame
-    max_pairs: int = 1 << 21
     # per-gaussian static tile-span cap (pairs beyond are dropped)
     max_span_x: int = 10
     max_span_y: int = 16
     # per-tile chunk of gaussians composited per scan step
     chunk: int = 256
-    # tiles processed per lax.map batch (memory knob)
+    # tiles processed per lax.map batch (memory knob, xla backend)
     tile_batch: int = 32
+    # compositing backend: "xla" (portable, exact-parity reference) or
+    # "pallas" (TPU kernels: fused fwd + custom-VJP bwd, early termination)
+    backend: str = "xla"
+    # static cap of gathered pair rows for the pallas backend (multiple of
+    # 64 for the chunked gathers)
+    max_pairs: int = 1 << 20
+    # run pallas kernels in interpreter mode (CPU tests)
+    pallas_interpret: bool = False
 
     def span(self) -> int:
         return self.max_span_x * self.max_span_y

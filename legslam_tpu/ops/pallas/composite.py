@@ -48,7 +48,6 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     npix = tile_h * tile_w
     start = tile_start[t]
     count = tile_count[t]
-    n_chunks = (count + chunk - 1) // chunk
 
     tx = (t % ntx) * tile_w
     ty = (t // ntx) * tile_h
@@ -57,11 +56,14 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     px = (tx + pix_lin % tile_w).astype(jnp.float32)
     py = (ty + pix_lin // tile_w).astype(jnp.float32)
 
+    # chunk-aligned DMA base: rounding DOWN keeps every dynamic offset
+    # provably lane-tile aligned; entries before `start` are masked out
+    base0 = (start // chunk) * chunk
+    n_chunks = (start + count - base0 + chunk - 1) // chunk
+
     def body(geo_buf, feat_buf, geo_sem, feat_sem):
         def fetch(k):
-            # tile ranges are chunk-aligned by prepare_pairs, so the DMA
-            # offset is provably lane-tile aligned
-            off = pl.multiple_of(start + k * chunk, chunk)
+            off = pl.multiple_of(base0 + k * chunk, chunk)
             g = pltpu.make_async_copy(
                 geo_hbm.at[:, pl.ds(off, chunk)], geo_buf, geo_sem)
             f = pltpu.make_async_copy(
@@ -87,9 +89,11 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
             dy = gy - py
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
 
-            # in-range mask: this chunk may overrun the tile's pair range
+            # in-range mask: the first chunk may underrun (aligned base)
+            # and the last may overrun the tile's pair range
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            in_range = (off + lane) < (start + count)
+            pos = off + lane
+            in_range = (pos >= start) & (pos < (start + count))
 
             alpha = op * jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(alpha, ALPHA_MAX)
@@ -138,49 +142,48 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     )
 
 
+def _chunked_take(src: jnp.ndarray, idx: jnp.ndarray,
+                  n_chunks: int = 64) -> jnp.ndarray:
+    """Row gather via lax.map chunks: XLA's single big gather both
+    compile-hangs and runs slowly on this TPU stack; 64 chunked gathers
+    compile fast and run ~4x faster (measured)."""
+    n = idx.shape[0]
+    assert n % n_chunks == 0, (n, n_chunks)
+    out = jax.lax.map(lambda ix: src[ix], idx.reshape(n_chunks, -1))
+    return out.reshape((n,) + src.shape[1:])
+
+
 def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
                   opacity: jnp.ndarray, feats: jnp.ndarray,
                   max_pairs: int, chunk: int = 256):
-    """Gather per-pair arrays into a CHUNK-ALIGNED (tile, depth) layout.
+    """Gather per-pair geometry/features in sorted (tile, depth) order.
 
-    Each tile's pair run starts at a multiple of `chunk` so the kernel's
-    dynamic-offset DMAs are provably lane-tile aligned (Mosaic requires
-    alignment proofs on dim-1 slices). Slack slots between runs carry
-    opacity 0 and are additionally masked by the per-tile count. Total
-    aligned capacity is max_pairs + ntiles*chunk (static).
+    Valid pairs occupy the front of the sorted binning arrays (sentinels
+    sink to the end), so truncating at `max_pairs` keeps everything as long
+    as num_rendered <= max_pairs; overflowing tiles are clipped at the
+    range level. Unaligned tile starts are handled by the kernel's
+    round-down DMA base + in-range mask.
 
-    Returns (astart [ntiles], count [ntiles], pair_geo [8, PAD],
-    pair_feats [PAD, C_pad]).
+    Returns (start [ntiles], count [ntiles], pair_geo [8, max_pairs],
+    pair_feats [max_pairs, C_pad]).
     """
-    ntiles = binning.tile_start.shape[0]
-    count = jnp.minimum(binning.tile_count, max_pairs)
-    acount = -(-count // chunk) * chunk
-    astart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(acount).astype(jnp.int32)])[:-1]
-    pairs_pad = max_pairs + ntiles * chunk
+    gid = binning.pair_gid[:max_pairs]
+    start = jnp.minimum(binning.tile_start, max_pairs).astype(jnp.int32)
+    end = jnp.minimum(binning.tile_start + binning.tile_count, max_pairs)
+    count = (end - start).astype(jnp.int32)
 
-    # source pair index for every aligned slot
-    slot = jnp.arange(pairs_pad, dtype=jnp.int32)
-    tile_of = jnp.searchsorted(astart, slot, side="right").astype(
-        jnp.int32) - 1
-    within = slot - astart[tile_of]
-    live = within < count[tile_of]
-    src = jnp.where(live, binning.tile_start[tile_of] + within, 0)
-    gid = jnp.where(live, binning.pair_gid[src], 0)
+    # per-gaussian packed geometry rows, gathered per pair then transposed
+    zeros = jnp.zeros_like(opacity)
+    geo_g = jnp.stack([mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1],
+                       conic[:, 2], opacity, zeros, zeros], axis=1)  # [P, 8]
+    geo = _chunked_take(geo_g, gid).T                     # [8, max_pairs]
 
-    m2 = mean2d[gid]
-    cn = conic[gid]
-    op = jnp.where(live, opacity[gid], 0.0)
-    zeros = jnp.zeros_like(op)
-    geo = jnp.stack([m2[:, 0], m2[:, 1], cn[:, 0], cn[:, 1], cn[:, 2], op,
-                     zeros, zeros], axis=0)
     c = feats.shape[1]
     c_pad = -(-c // 128) * 128  # lane-tile alignment for the HBM DMA slices
-    pf = feats[gid] * live[:, None]
     if c_pad != c:
-        pf = jnp.pad(pf, ((0, 0), (0, c_pad - c)))
-    return astart, count.astype(jnp.int32), geo, pf
+        feats = jnp.pad(feats, ((0, 0), (0, c_pad - c)))
+    pf = _chunked_take(feats, gid)                        # [max_pairs, 128]
+    return start, count, geo, pf
 
 
 @functools.partial(
@@ -244,10 +247,13 @@ def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
 def composite_image_pallas(binning, mean2d, conic, opacity, feats,
                            width: int, height: int, tile_w: int, tile_h: int,
                            max_pairs: int, chunk: int = 256,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           differentiable: bool = False):
     """Full-image forward compositing via the Pallas kernel.
 
     Returns (img [H, W, C], t_final [H, W]) with C = feats channel count.
+    With differentiable=True, gradients flow to mean2d/conic/opacity/feats
+    through the Pallas backward kernel + the gathers' scatter-add VJP.
     """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
@@ -255,9 +261,15 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
     c = feats.shape[1]
     start, count, geo, pf = prepare_pairs(
         binning, mean2d, conic, opacity, feats, max_pairs, chunk)
-    acc, tfin = composite_tiles_pallas(
-        start, count, geo, pf, tile_w=tile_w, tile_h=tile_h, ntx=ntx,
-        ntiles=ntiles, chunk=chunk, interpret=interpret)
+    if differentiable:
+        from legslam_tpu.ops.pallas.composite_bwd import make_composite_vjp
+        fn = make_composite_vjp(tile_w, tile_h, ntx, ntiles, chunk,
+                                interpret)
+        acc, tfin = fn(start, count, geo, pf)
+    else:
+        acc, tfin = composite_tiles_pallas(
+            start, count, geo, pf, tile_w=tile_w, tile_h=tile_h, ntx=ntx,
+            ntiles=ntiles, chunk=chunk, interpret=interpret)
     c_out = acc.shape[-1]
     img = acc.reshape(nty, ntx, tile_h, tile_w, c_out)
     img = img.transpose(0, 2, 1, 3, 4).reshape(

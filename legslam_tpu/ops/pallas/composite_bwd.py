@@ -1,0 +1,341 @@
+"""Pallas TPU kernel: compositing backward + custom VJP wiring.
+
+Replaces the reference's reverse-traversal backward with atomicAdd
+accumulation (cuda_rasterizer/backward.cu:399-612). Two TPU-first changes:
+
+  1. No reverse traversal: the alpha gradient needs the suffix sum
+     S_k = sum_{j>k} dL/dw_j * w_j; we compute Stotal in a first forward
+     pass and take S_k = Stotal - inclusive_prefix_k in a second forward
+     pass (prefixes via upper-triangular MXU matmuls, like the forward).
+  2. No atomics: gradients are written in PAIR space (each pair belongs to
+     exactly one tile). Chunk windows at tile boundaries overlap because of
+     the aligned round-down base, so writes are read-modify-write DMAs —
+     race-free because the Pallas grid is sequential on a TPU core. The
+     pair->gaussian reduction then rides the autodiff VJP of the XLA
+     gathers in prepare_pairs (a scatter-add).
+
+Gradient contract parity (see ops/composite.py): straight-through on the
+0.99 alpha clamp (backward.cu:591-607: dL_dG = opacity * dL_dalpha ignores
+the clamp), hard masks for the skip rules, and the background/T_final
+coupling dL_dalpha += -T_final/(1-alpha) * <bg, dL_dpixel>
+(backward.cu:598-603) arriving here as the t_final cotangent.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from legslam_tpu.config import ALPHA_MAX, ALPHA_MIN, T_TERMINATE
+from legslam_tpu.ops.pallas.composite import (
+    GEO_A,
+    GEO_B,
+    GEO_C,
+    GEO_OP,
+    GEO_ROWS,
+    GEO_X,
+    GEO_Y,
+    composite_tiles_pallas,
+)
+
+LOG_TERM = float(np.log(T_TERMINATE))
+
+
+def _alpha_terms(geo_buf, px, py, start, count, off, chunk):
+    """Recompute per-chunk alpha quantities (shared by both passes)."""
+    gx = geo_buf[GEO_X:GEO_X + 1, :]
+    gy = geo_buf[GEO_Y:GEO_Y + 1, :]
+    ca = geo_buf[GEO_A:GEO_A + 1, :]
+    cb = geo_buf[GEO_B:GEO_B + 1, :]
+    cc = geo_buf[GEO_C:GEO_C + 1, :]
+    op = geo_buf[GEO_OP:GEO_OP + 1, :]
+    dx = gx - px
+    dy = gy - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    pos = off + lane
+    in_range = (pos >= start) & (pos < (start + count))
+    g_exp = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = op * g_exp
+    alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
+    alpha = jnp.where(keep, alpha, 0.0)
+    return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, g_exp=g_exp,
+                alpha=alpha, keep=keep)
+
+
+def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
+                     gout_ref, gtfin_ref, tfin_ref, uexcl, uincl,
+                     dgeo_hbm, dfeats_hbm, *, chunk: int, tile_w: int,
+                     tile_h: int, ntx: int, c_out: int, pairs_pad: int):
+    t = pl.program_id(0)
+    npix = tile_h * tile_w
+    start = tile_start[t]
+    count = tile_count[t]
+    base0 = (start // chunk) * chunk
+    n_chunks = (start + count - base0 + chunk - 1) // chunk
+
+    tx = (t % ntx) * tile_w
+    ty = (t // ntx) * tile_h
+    pix_lin = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
+    px = (tx + pix_lin % tile_w).astype(jnp.float32)
+    py = (ty + pix_lin // tile_w).astype(jnp.float32)
+
+    gout = gout_ref[0]            # [npix, C]
+    gtfin = gtfin_ref[0]          # [npix, 1]
+    tfin = tfin_ref[0]            # [npix, 1]
+    gt_term = gtfin * tfin        # per-pixel gT * T_final
+
+    def body(geo_buf, feat_buf, dgeo_buf, dfeat_buf, sem):
+        # t == 0 zero-initializes the HBM accumulators (outputs are
+        # uninitialized memory; all later writes are read-modify-write)
+        @pl.when(t == 0)
+        def _():
+            dgeo_buf[:] = jnp.zeros_like(dgeo_buf)
+            dfeat_buf[:] = jnp.zeros_like(dfeat_buf)
+
+            def zero_step(i, _):
+                off = pl.multiple_of(i * chunk, chunk)
+                zg = pltpu.make_async_copy(
+                    dgeo_buf, dgeo_hbm.at[:, pl.ds(off, chunk)], sem.at[0])
+                zf = pltpu.make_async_copy(
+                    dfeat_buf, dfeats_hbm.at[pl.ds(off, chunk), :],
+                    sem.at[1])
+                zg.start()
+                zf.start()
+                zg.wait()
+                zf.wait()
+                return 0
+            jax.lax.fori_loop(0, pairs_pad // chunk, zero_step, 0)
+
+        def fetch(k):
+            off = pl.multiple_of(base0 + k * chunk, chunk)
+            g = pltpu.make_async_copy(
+                geo_hbm.at[:, pl.ds(off, chunk)], geo_buf, sem.at[0])
+            f = pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(off, chunk), :], feat_buf, sem.at[1])
+            g.start()
+            f.start()
+            g.wait()
+            f.wait()
+            return off
+
+        # ---- pass A: Stotal[px] = sum_j dw_j * w_j ----
+        def pass_a(carry):
+            k, log_t_all, stot = carry
+            off = fetch(k)
+            a = _alpha_terms(geo_buf, px, py, start, count, off, chunk)
+            log1m = jnp.log1p(-a["alpha"])
+            prefix = jax.lax.dot_general(
+                log1m, uexcl[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            log_t_exc = log_t_all + prefix
+            contrib = (log_t_exc + log1m) >= LOG_TERM
+            w = jnp.where(contrib, a["alpha"] * jnp.exp(log_t_exc), 0.0)
+            dw = jax.lax.dot_general(
+                gout, feat_buf[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [npix, chunk]
+            stot = stot + jnp.sum(dw * w, axis=1, keepdims=True)
+            log_t_all = log_t_all + jnp.sum(log1m, axis=1, keepdims=True)
+            return k + 1, log_t_all, stot
+
+        def cond_a(carry):
+            k, log_t_all, _ = carry
+            return (k < n_chunks) & (jnp.max(log_t_all) >= LOG_TERM)
+
+        initA = (jnp.zeros((), jnp.int32),
+                 jnp.zeros((npix, 1), jnp.float32),
+                 jnp.zeros((npix, 1), jnp.float32))
+        _, _, stot = jax.lax.while_loop(cond_a, pass_a, initA)
+
+        # ---- pass B: per-pair gradients ----
+        def pass_b(carry):
+            k, log_t_all, s_prefix = carry
+            off = fetch(k)
+            a = _alpha_terms(geo_buf, px, py, start, count, off, chunk)
+            alpha = a["alpha"]
+            log1m = jnp.log1p(-alpha)
+            prefix = jax.lax.dot_general(
+                log1m, uexcl[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            log_t_exc = log_t_all + prefix
+            contrib = (log_t_exc + log1m) >= LOG_TERM
+            t_exc = jnp.exp(log_t_exc)
+            w = jnp.where(contrib, alpha * t_exc, 0.0)
+            dw = jax.lax.dot_general(
+                gout, feat_buf[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            q = dw * w
+            incl = s_prefix + jax.lax.dot_general(
+                q, uincl[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_k = stot - incl                           # suffix sum, [npix, chunk]
+
+            one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+            dalpha = jnp.where(contrib, dw * t_exc, 0.0) \
+                - (s_k + jnp.where(contrib, gt_term, 0.0)) / one_minus
+            # skips zero the gradient entirely (hard masks)
+            dalpha = jnp.where(a["keep"], dalpha, 0.0)
+
+            # straight-through alpha = opacity * G
+            dG = a["op"] * dalpha
+            d_opacity = a["g_exp"] * dalpha
+            dpower = a["g_exp"] * dG
+            dx, dy = a["dx"], a["dy"]
+            ddx = dpower * (-(a["ca"] * dx) - a["cb"] * dy)
+            ddy = dpower * (-(a["cc"] * dy) - a["cb"] * dx)
+            da = dpower * (-0.5 * dx * dx)
+            db = dpower * (-dx * dy)
+            dc = dpower * (-0.5 * dy * dy)
+
+            # reduce over pixels -> per-pair rows
+            zeros = jnp.zeros((1, chunk), jnp.float32)
+            dgeo_local = jnp.concatenate([
+                jnp.sum(ddx, 0, keepdims=True),
+                jnp.sum(ddy, 0, keepdims=True),
+                jnp.sum(da, 0, keepdims=True),
+                jnp.sum(db, 0, keepdims=True),
+                jnp.sum(dc, 0, keepdims=True),
+                jnp.sum(d_opacity, 0, keepdims=True),
+                zeros, zeros], axis=0)                   # [8, chunk]
+            dfeat_local = jax.lax.dot_general(
+                w, gout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [chunk, C]
+
+            # read-modify-write accumulation (boundary windows overlap the
+            # neighbouring tile's windows; sequential grid => race-free)
+            rd_g = pltpu.make_async_copy(
+                dgeo_hbm.at[:, pl.ds(off, chunk)], dgeo_buf, sem.at[0])
+            rd_f = pltpu.make_async_copy(
+                dfeats_hbm.at[pl.ds(off, chunk), :], dfeat_buf, sem.at[1])
+            rd_g.start()
+            rd_f.start()
+            rd_g.wait()
+            rd_f.wait()
+            dgeo_buf[:] = dgeo_buf[:] + dgeo_local
+            dfeat_buf[:] = dfeat_buf[:] + dfeat_local
+            wr_g = pltpu.make_async_copy(
+                dgeo_buf, dgeo_hbm.at[:, pl.ds(off, chunk)], sem.at[0])
+            wr_f = pltpu.make_async_copy(
+                dfeat_buf, dfeats_hbm.at[pl.ds(off, chunk), :], sem.at[1])
+            wr_g.start()
+            wr_f.start()
+            wr_g.wait()
+            wr_f.wait()
+
+            log_t_all = log_t_all + jnp.sum(log1m, axis=1, keepdims=True)
+            s_prefix = s_prefix + jnp.sum(q, axis=1, keepdims=True)
+            return k + 1, log_t_all, s_prefix
+
+        def cond_b(carry):
+            k, log_t_all, _ = carry
+            return (k < n_chunks) & (jnp.max(log_t_all) >= LOG_TERM)
+
+        initB = (jnp.zeros((), jnp.int32),
+                 jnp.zeros((npix, 1), jnp.float32),
+                 jnp.zeros((npix, 1), jnp.float32))
+        jax.lax.while_loop(cond_b, pass_b, initB)
+
+    pl.run_scoped(
+        body,
+        geo_buf=pltpu.VMEM((GEO_ROWS, chunk), jnp.float32),
+        feat_buf=pltpu.VMEM((chunk, c_out), jnp.float32),
+        dgeo_buf=pltpu.VMEM((GEO_ROWS, chunk), jnp.float32),
+        dfeat_buf=pltpu.VMEM((chunk, c_out), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
+                     "interpret"))
+def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
+                              gout, gtfin, tfin, *, tile_w: int,
+                              tile_h: int, ntx: int, ntiles: int,
+                              chunk: int = 256, interpret: bool = False):
+    """Run the backward kernel. gout/gtfin/tfin are [ntiles, npix, C/1/1].
+    Returns (dgeo [8, PAIRS], dfeats [PAIRS, C])."""
+    pairs_pad = pair_geo.shape[1]
+    c_out = pair_feats.shape[1]
+    npix = tile_h * tile_w
+    uexcl = jnp.triu(jnp.ones((chunk, chunk), jnp.float32), k=1)
+    uincl = jnp.triu(jnp.ones((chunk, chunk), jnp.float32), k=0)
+
+    kernel = functools.partial(
+        _backward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
+        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # geo
+            pl.BlockSpec(memory_space=pltpu.HBM),   # feats
+            pl.BlockSpec((1, npix, c_out), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),  # gout
+            pl.BlockSpec((1, npix, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),  # gtfin
+            pl.BlockSpec((1, npix, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),  # tfin
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # uexcl
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # uincl
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # dgeo (manual RMW)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # dfeats (manual RMW)
+        ],
+    )
+    dgeo, dfeats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((GEO_ROWS, pairs_pad), jnp.float32),
+            jax.ShapeDtypeStruct((pairs_pad, c_out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            has_side_effects=True),
+        interpret=interpret,
+    )(tile_start, tile_count, pair_geo, pair_feats, gout, gtfin, tfin,
+      uexcl, uincl)
+    return dgeo, dfeats
+
+
+@functools.lru_cache(maxsize=32)
+def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
+                       chunk: int, interpret: bool):
+    """Differentiable tile compositing: Pallas forward + Pallas backward.
+
+    Returns f(start, count, geo, feats) -> (acc, tfin) with gradients
+    flowing to geo/feats (pair space); the pair->gaussian reduction is the
+    autodiff VJP of prepare_pairs' gathers.
+    """
+
+    @jax.custom_vjp
+    def f(start, count, geo, feats):
+        return composite_tiles_pallas(
+            start, count, geo, feats, tile_w=tile_w, tile_h=tile_h,
+            ntx=ntx, ntiles=ntiles, chunk=chunk, interpret=interpret)
+
+    def fwd(start, count, geo, feats):
+        acc, tfin = f(start, count, geo, feats)
+        return (acc, tfin), (start, count, geo, feats, tfin)
+
+    def bwd(res, cots):
+        start, count, geo, feats, tfin = res
+        dacc, dtfin = cots
+        dgeo, dfeats = composite_backward_pallas(
+            start, count, geo, feats, dacc, dtfin, tfin,
+            tile_w=tile_w, tile_h=tile_h, ntx=ntx, ntiles=ntiles,
+            chunk=chunk, interpret=interpret)
+        zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+        return zi(start), zi(count), dgeo, dfeats
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -168,9 +168,17 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
     feats = jnp.concatenate(parts, axis=-1)
 
     binning = bin_gaussians(pre, width, height, cfg)
-    img, t_final = _composite_tiles(
-        binning, pre.mean2d, pre.conic, opacity, feats,
-        width, height, cfg, max_per_tile)
+    if cfg.backend == "pallas":
+        from legslam_tpu.ops.pallas.composite import composite_image_pallas
+        img, t_final = composite_image_pallas(
+            binning, pre.mean2d, pre.conic, opacity, feats, width, height,
+            cfg.tile_w, cfg.tile_h, cfg.max_pairs, cfg.chunk,
+            interpret=cfg.pallas_interpret, differentiable=True)
+        img = img[..., :feats.shape[-1]]
+    else:
+        img, t_final = _composite_tiles(
+            binning, pre.mean2d, pre.conic, opacity, feats,
+            width, height, cfg, max_per_tile)
 
     color = img[..., :3] + t_final[..., None] * bg[None, None]
     lf = img[..., 3:-1] if include_lang_feat else None
