@@ -23,7 +23,11 @@ def main():
     from legslam_tpu.models import gaussians as G
     from legslam_tpu.utils.camera import CameraView
 
+    from legslam_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     smoke = os.environ.get("BENCH_SMOKE") == "1"
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     width, height = (320, 192) if smoke else (1200, 680)
     n_points = 20_000 if smoke else 200_000
     capacity = 1 << (15 if smoke else 18)
@@ -31,7 +35,8 @@ def main():
 
     cfg = RasterizeConfig(
         tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
-        chunk=256, tile_batch=16)
+        chunk=256, tile_batch=16, backend=backend,
+        max_pairs=1 << (16 if smoke else 20))
     opt = OptimizationParams()
 
     rng = np.random.default_rng(0)

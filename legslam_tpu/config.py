@@ -154,6 +154,9 @@ class RasterizeConfig:
     max_pairs: int = 1 << 20
     # run pallas kernels in interpreter mode (CPU tests)
     pallas_interpret: bool = False
+    # use the Pallas bitonic sort for binning (pair keys + depth order);
+    # not stable for exactly-tied depths (float ties are measure-zero)
+    pallas_sort: bool = False
 
     def span(self) -> int:
         return self.max_span_x * self.max_span_y

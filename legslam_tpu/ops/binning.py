@@ -66,8 +66,14 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
             f"packed binning key overflow: ntiles={ntiles} P={P}; "
             "reduce capacity or enlarge tiles")
 
-    depth_key = jnp.where(pre.mask, pre.depth, jnp.inf)
-    order = jnp.argsort(depth_key)  # stable
+    use_pallas_sort = getattr(cfg, "pallas_sort", False)
+    if use_pallas_sort:
+        from legslam_tpu.ops.pallas.sort import argsort_f32
+        order = argsort_f32(pre.depth, pre.mask,
+                            interpret=cfg.pallas_interpret)[:P]
+    else:
+        depth_key = jnp.where(pre.mask, pre.depth, jnp.inf)
+        order = jnp.argsort(depth_key)  # stable
 
     rect = tile_rect(pre.mean2d, pre.radius, cfg.tile_w, cfg.tile_h, ntx, nty)
     span_x = rect.x1 - rect.x0
@@ -94,7 +100,17 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     rank = jnp.arange(P, dtype=jnp.int32)
     key = jnp.where(in_span, tid * P + rank[:, None, None], ntiles * P)
     key = key.reshape(-1)
-    key_sorted = jnp.sort(key)
+    if use_pallas_sort:
+        import numpy as np
+        from legslam_tpu.ops.pallas.sort import INT32_MAX, sort_keys
+        n = key.shape[0]
+        n_pad = 1 << int(np.ceil(np.log2(max(n, 256))))
+        key_padded = jnp.pad(key, (0, n_pad - n),
+                             constant_values=int(INT32_MAX))
+        key_sorted = sort_keys(key_padded,
+                               interpret=cfg.pallas_interpret)[:n]
+    else:
+        key_sorted = jnp.sort(key)
 
     num_valid = jnp.sum(in_span.astype(jnp.int32))
     pair_rank = key_sorted % P
