@@ -49,23 +49,25 @@ def _stage(x, vals, R, k, j):
     else:
         bit = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1) & \
             ((1 << k) // R)
-    ascending = bit == 0
+    # int32 arithmetic for the combined flag: Mosaic rejects selects/equality
+    # on i1 vectors ("unsupported truncation")
+    asc_i = jnp.where(bit == 0, 1, 0)
+    low_i = jnp.where(low_half, 1, 0)
 
     # pltpu.roll requires non-negative shifts; -shift == size - shift (cyclic)
     partner = jnp.where(low_half, pltpu.roll(x, size - shift, axis=axis),
                         pltpu.roll(x, shift, axis=axis))
-    x_is_small = x < partner
-    keep_small = ascending == low_half
-    take_self = jnp.where(keep_small, x_is_small, ~x_is_small) | \
-        (x == partner)
-    new_x = jnp.where(take_self, x, partner)
+    # keep the small element when (ascending == low_half)
+    keep_small = asc_i == low_i
+    new_x = jnp.where(keep_small, jnp.minimum(x, partner),
+                      jnp.maximum(x, partner))
     if vals is None:
         return new_x, None
-    # values follow their keys; ties keep self on both sides (stable-ish
-    # but NOT stable in general; keys here are unique by construction)
+    # values follow their keys (keys are unique by construction; on
+    # sentinel ties both sides keep self, which is harmless)
     pv = jnp.where(low_half, pltpu.roll(vals, size - shift, axis=axis),
                    pltpu.roll(vals, shift, axis=axis))
-    new_v = jnp.where(take_self, vals, pv)
+    new_v = jnp.where(new_x == x, vals, pv)
     return new_x, new_v
 
 
