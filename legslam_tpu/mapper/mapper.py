@@ -94,6 +94,8 @@ class GaussianMapper:
         self.ema_loss = 0.0
         self.timings: list[float] = []
         self.big_points_on = False
+        self.loss_sync_interval = 10
+        self._last_aux = None
 
     # ------------------------------------------------------------------
     # Bridge ingestion (combineMappingOperations, gaussian_mapper.cpp:829)
@@ -320,10 +322,15 @@ class GaussianMapper:
             width=view.width, height=view.height,
             active_sh_degree=self.active_sh_degree, opt=opt, cfg=self.cfg,
             include_lang_feat=include_lf, max_per_tile=self.max_per_tile)
-        loss = float(aux.loss)
+        # avoid a host sync every iteration (the device dispatch pipeline
+        # hides transfer latency); fetch the loss only periodically
+        self._last_aux = aux
+        loss = None
+        if self.iteration % self.loss_sync_interval == 0:
+            loss = float(aux.loss)
+            self.ema_loss = 0.6 * loss + 0.4 * self.ema_loss \
+                if self.iteration > 1 else loss
         self.timings.append(time.perf_counter() - t0)
-        self.ema_loss = 0.6 * loss + 0.4 * self.ema_loss \
-            if self.iteration > 1 else loss
 
         # densification schedule (gaussian_mapper.cpp:737-760)
         if self.iteration < opt.densify_until_iter:

@@ -32,50 +32,80 @@ LANES = 128
 INT32_MAX = np.int32(2 ** 31 - 1)
 
 
-def _stage(x, vals, R, k, j):
-    """One compare-exchange stage: partner = n XOR 2^j, ascending when
-    (n & 2^k) == 0, over lane-major [R, 128] arrays."""
-    s = 1 << j
-    if s < R:
-        axis, shift, size, idx_dim = 0, s, R, 0
-    else:
-        axis, shift, size, idx_dim = 1, s // R, LANES, 1
-    idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), idx_dim)
+def _stage_axis(x, vals, R, k_bits, shift, axis):
+    """One compare-exchange with a DYNAMIC shift along a fixed axis.
+    partner = roll by +-shift; ascending when (n & 2^k) == 0 given via the
+    per-element bit mask `k_bits` (int32, 0 or nonzero)."""
+    size = R if axis == 0 else LANES
+    idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), axis)
     low_half = (idx & shift) == 0          # this element is the low partner
-
-    # n = lane * R + row; bit k of n:
-    if (1 << k) < R:
-        bit = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) & (1 << k)
-    else:
-        bit = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1) & \
-            ((1 << k) // R)
-    # int32 arithmetic for the combined flag: Mosaic rejects selects/equality
-    # on i1 vectors ("unsupported truncation")
-    asc_i = jnp.where(bit == 0, 1, 0)
+    # int32 arithmetic for the combined flag: Mosaic rejects selects /
+    # equality on i1 vectors ("unsupported truncation")
+    asc_i = jnp.where(k_bits == 0, 1, 0)
     low_i = jnp.where(low_half, 1, 0)
+    keep_small = asc_i == low_i
 
-    # pltpu.roll requires non-negative shifts; -shift == size - shift (cyclic)
     partner = jnp.where(low_half, pltpu.roll(x, size - shift, axis=axis),
                         pltpu.roll(x, shift, axis=axis))
-    # keep the small element when (ascending == low_half)
-    keep_small = asc_i == low_i
     new_x = jnp.where(keep_small, jnp.minimum(x, partner),
                       jnp.maximum(x, partner))
     if vals is None:
         return new_x, None
-    # values follow their keys (keys are unique by construction; on
-    # sentinel ties both sides keep self, which is harmless)
     pv = jnp.where(low_half, pltpu.roll(vals, size - shift, axis=axis),
                    pltpu.roll(vals, shift, axis=axis))
+    # keys are unique by construction; sentinel ties keep self on both sides
     new_v = jnp.where(new_x == x, vals, pv)
     return new_x, new_v
 
 
 def _network(x, vals, R, log_n):
-    for k in range(1, log_n + 1):
-        for j in range(k - 1, -1, -1):
-            x, vals = _stage(x, vals, R, k, j)
-    return x, vals
+    """Bitonic network as nested fori_loops over (k, j) with dynamic
+    shifts — keeps the Mosaic program small (the fully unrolled
+    O(log^2 n)-stage version takes minutes to compile remotely)."""
+    log_r = int(np.log2(R))
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    has_vals = vals is not None
+    if not has_vals:
+        vals = x  # dummy carry
+
+    def k_bits_of(k):
+        # bit k of n = lane * R + row
+        kb_row = row_iota & jnp.where(k < log_r,
+                                      jnp.left_shift(1, k), 0)
+        kb_lane = lane_iota & jnp.where(
+            k >= log_r, jnp.left_shift(1, jnp.maximum(k - log_r, 0)), 0)
+        return jnp.where(k < log_r, kb_row, kb_lane)
+
+    def stage(k, j, x, v):
+        kb = k_bits_of(k)
+        s_row = jnp.left_shift(1, j)                   # if j < log_r
+        s_lane = jnp.left_shift(1, jnp.maximum(j - log_r, 0))
+
+        def row_branch(args):
+            x, v = args
+            return _stage_axis(x, v if has_vals else None, R, kb, s_row, 0)
+
+        def lane_branch(args):
+            x, v = args
+            return _stage_axis(x, v if has_vals else None, R, kb, s_lane, 1)
+
+        nx, nv = jax.lax.cond(j < log_r, row_branch, lane_branch, (x, v))
+        return nx, (nv if has_vals else v)
+
+    def inner(i, carry):
+        k, x, v = carry
+        j = k - 1 - i
+        x, v = stage(k, j, x, v)
+        return k, x, v
+
+    def outer(k, carry):
+        x, v = carry
+        _, x, v = jax.lax.fori_loop(0, k, inner, (k, x, v))
+        return x, v
+
+    x, vals = jax.lax.fori_loop(1, log_n + 1, outer, (x, vals))
+    return x, (vals if has_vals else None)
 
 
 def _sort_kernel(x_ref, o_ref, *, R, log_n):
