@@ -157,6 +157,12 @@ class RasterizeConfig:
     # use the Pallas bitonic sort for binning (pair keys + depth order);
     # not stable for exactly-tied depths (float ties are measure-zero)
     pallas_sort: bool = False
+    # rank-block bucketed binning (pallas backend): XLA's batched sort of
+    # [B, n/B] rows is ~3x faster than one flat sort; 1 = flat
+    n_buckets: int = 1
+    # per-bucket pair capacity (multiple of chunk); only used when
+    # n_buckets > 1. Total gathered pairs = n_buckets * bucket_cap.
+    bucket_cap: int = 1 << 16
 
     def span(self) -> int:
         return self.max_span_x * self.max_span_y

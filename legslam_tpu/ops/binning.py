@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from legslam_tpu.config import RasterizeConfig
@@ -53,6 +54,21 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray   # [ntiles] range start into pair arrays
     tile_count: jnp.ndarray   # [ntiles] pairs per tile
     num_rendered: jnp.ndarray # [] total valid pairs
+
+
+class BucketedBinning(NamedTuple):
+    """Rank-block bucketed binning: gaussians are depth-sorted, the rank
+    axis is split into B contiguous blocks, and each block's (tile, rank)
+    pairs are sorted INDEPENDENTLY (XLA's batched sort is ~3x faster than
+    one flat sort at this size). Because blocks partition the depth order,
+    visiting buckets 0..B-1 per tile preserves exact front-to-back order.
+    """
+    order: jnp.ndarray        # [P] gaussian ids in ascending depth
+    pair_gid: jnp.ndarray     # [B * cap_b] gaussian ids, bucket-major
+    tile_start: jnp.ndarray   # [ntiles, B] starts into the flat pair axis
+    tile_count: jnp.ndarray   # [ntiles, B]
+    num_rendered: jnp.ndarray # [] total valid pairs (pre-truncation)
+    overflow: jnp.ndarray     # [] pairs lost to per-bucket caps
 
 
 def bin_gaussians(pre: Preprocessed, width: int, height: int,
@@ -122,3 +138,78 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     tile_count = edges[1:] - edges[:-1]
     return Binning(order=order, pair_gid=pair_gid, tile_start=tile_start,
                    tile_count=tile_count, num_rendered=num_valid)
+
+
+def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
+                           cfg: RasterizeConfig, n_buckets: int,
+                           cap_per_bucket: int) -> BucketedBinning:
+    """Bucketed variant of bin_gaussians (see BucketedBinning).
+
+    P must be divisible by n_buckets; each bucket keeps its first
+    cap_per_bucket sorted pairs (valid pairs sort before sentinels, so
+    truncation only drops overflow, which is counted).
+    """
+    P = pre.mean2d.shape[0]
+    assert P % n_buckets == 0, (P, n_buckets)
+    assert cap_per_bucket % 256 == 0, cap_per_bucket  # chunk-aligned regions
+    ntx = -(-width // cfg.tile_w)
+    nty = -(-height // cfg.tile_h)
+    ntiles = ntx * nty
+    if ntiles * (P + 1) >= 2 ** 31:
+        raise ValueError("packed binning key overflow")
+
+    if getattr(cfg, "pallas_sort", False):
+        from legslam_tpu.ops.pallas.sort import argsort_f32
+        order = argsort_f32(pre.depth, pre.mask,
+                            interpret=cfg.pallas_interpret)[:P]
+    else:
+        depth_key = jnp.where(pre.mask, pre.depth, jnp.inf)
+        order = jnp.argsort(depth_key)
+
+    rect = tile_rect(pre.mean2d, pre.radius, cfg.tile_w, cfg.tile_h, ntx, nty)
+    span_x = rect.x1 - rect.x0
+    span_y = rect.y1 - rect.y0
+    valid = pre.mask & (span_x * span_y > 0)
+
+    x0 = rect.x0[order]
+    y0 = rect.y0[order]
+    sx = span_x[order]
+    sy = span_y[order]
+    v = valid[order]
+
+    msx, msy = cfg.max_span_x, cfg.max_span_y
+    ox = jnp.arange(msx, dtype=jnp.int32)
+    oy = jnp.arange(msy, dtype=jnp.int32)
+    tx = x0[:, None, None] + ox[None, None, :]
+    ty = y0[:, None, None] + oy[None, :, None]
+    in_span = (ox[None, None, :] < sx[:, None, None]) & \
+              (oy[None, :, None] < sy[:, None, None]) & v[:, None, None]
+    tid = ty * ntx + tx
+    rank = jnp.arange(P, dtype=jnp.int32)
+    key = jnp.where(in_span, tid * P + rank[:, None, None], ntiles * P)
+
+    # bucket rows = contiguous rank blocks
+    rows = key.reshape(n_buckets, -1)
+    rows_sorted = jnp.sort(rows, axis=-1)
+    kept = rows_sorted[:, :cap_per_bucket]               # [B, cap_b]
+
+    num_valid = jnp.sum(in_span.astype(jnp.int32))
+    sentinel = ntiles * P
+    kept_valid = jnp.sum((kept < sentinel).astype(jnp.int32))
+    overflow = num_valid - kept_valid
+
+    pair_rank = (kept % P).reshape(-1)
+    pair_gid = order[pair_rank]
+
+    # per-bucket tile ranges; flat offsets add b * cap_b
+    bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * P
+    edges = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left"))(kept)
+    edges = edges.astype(jnp.int32)                       # [B, ntiles+1]
+    base = (jnp.arange(n_buckets, dtype=jnp.int32) *
+            cap_per_bucket)[:, None]
+    tile_start = (edges[:, :-1] + base).T                 # [ntiles, B]
+    tile_count = (edges[:, 1:] - edges[:, :-1]).T
+    return BucketedBinning(order=order, pair_gid=pair_gid,
+                           tile_start=tile_start, tile_count=tile_count,
+                           num_rendered=num_valid, overflow=overflow)

@@ -43,11 +43,10 @@ LOG_TERM = float(np.log(T_TERMINATE))
 
 def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
                     out_ref, tfin_ref, *, chunk: int, tile_w: int,
-                    tile_h: int, ntx: int, c_out: int, pairs_pad: int):
+                    tile_h: int, ntx: int, c_out: int, pairs_pad: int,
+                    n_buckets: int):
     t = pl.program_id(0)
     npix = tile_h * tile_w
-    start = tile_start[t]
-    count = tile_count[t]
 
     tx = (t % ntx) * tile_w
     ty = (t // ntx) * tile_h
@@ -56,13 +55,10 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     px = (tx + pix_lin % tile_w).astype(jnp.float32)
     py = (ty + pix_lin // tile_w).astype(jnp.float32)
 
-    # chunk-aligned DMA base: rounding DOWN keeps every dynamic offset
-    # provably lane-tile aligned; entries before `start` are masked out
-    base0 = (start // chunk) * chunk
-    n_chunks = (start + count - base0 + chunk - 1) // chunk
-
     def body(geo_buf, feat_buf, geo_sem, feat_sem):
-        def fetch(k):
+        def fetch(base0, k):
+            # chunk-aligned DMA base (rounded down); out-of-range lanes
+            # are masked in the compute
             off = pl.multiple_of(base0 + k * chunk, chunk)
             g = pltpu.make_async_copy(
                 geo_hbm.at[:, pl.ds(off, chunk)], geo_buf, geo_sem)
@@ -74,62 +70,77 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
             f.wait()
             return off
 
-        def step(carry):
-            k, log_t_all, log_t_fin, acc = carry
-            off = fetch(k)
-            # lane-broadcast rows [1, chunk]
-            gx = geo_buf[GEO_X:GEO_X + 1, :]
-            gy = geo_buf[GEO_Y:GEO_Y + 1, :]
-            ca = geo_buf[GEO_A:GEO_A + 1, :]
-            cb = geo_buf[GEO_B:GEO_B + 1, :]
-            cc = geo_buf[GEO_C:GEO_C + 1, :]
-            op = geo_buf[GEO_OP:GEO_OP + 1, :]
+        def bucket_step(bcarry):
+            b, log_t_all0, log_t_fin0, acc0 = bcarry
+            start = tile_start[t * n_buckets + b]
+            count = tile_count[t * n_buckets + b]
+            base0 = (start // chunk) * chunk
+            n_chunks = (start + count - base0 + chunk - 1) // chunk
 
-            dx = gx - px          # [npix, chunk]
-            dy = gy - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            def step(carry):
+                k, log_t_all, log_t_fin, acc = carry
+                off = fetch(base0, k)
+                # lane-broadcast rows [1, chunk]
+                gx = geo_buf[GEO_X:GEO_X + 1, :]
+                gy = geo_buf[GEO_Y:GEO_Y + 1, :]
+                ca = geo_buf[GEO_A:GEO_A + 1, :]
+                cb = geo_buf[GEO_B:GEO_B + 1, :]
+                cc = geo_buf[GEO_C:GEO_C + 1, :]
+                op = geo_buf[GEO_OP:GEO_OP + 1, :]
 
-            # in-range mask: the first chunk may underrun (aligned base)
-            # and the last may overrun the tile's pair range
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            pos = off + lane
-            in_range = (pos >= start) & (pos < (start + count))
+                dx = gx - px          # [npix, chunk]
+                dy = gy - py
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
 
-            alpha = op * jnp.exp(jnp.minimum(power, 0.0))
-            alpha = jnp.minimum(alpha, ALPHA_MAX)
-            keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
-            alpha = jnp.where(keep, alpha, 0.0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                pos = off + lane
+                in_range = (pos >= start) & (pos < (start + count))
 
-            log1m = jnp.log1p(-alpha)
-            # exclusive prefix along the chunk axis via triangular matmul
-            prefix = jax.lax.dot_general(
-                log1m, uexcl[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            log_t_exc = log_t_all + prefix
-            log_t_inc = log_t_exc + log1m
-            contrib = log_t_inc >= LOG_TERM
-            w = jnp.where(contrib, alpha * jnp.exp(log_t_exc), 0.0)
+                alpha = op * jnp.exp(jnp.minimum(power, 0.0))
+                alpha = jnp.minimum(alpha, ALPHA_MAX)
+                keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
+                alpha = jnp.where(keep, alpha, 0.0)
 
-            acc = acc + jax.lax.dot_general(
-                w, feat_buf[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            log_t_all = log_t_all + jnp.sum(log1m, axis=1, keepdims=True)
-            log_t_fin = log_t_fin + jnp.sum(
-                jnp.where(contrib, log1m, 0.0), axis=1, keepdims=True)
-            return k + 1, log_t_all, log_t_fin, acc
+                log1m = jnp.log1p(-alpha)
+                # exclusive prefix along chunk axis via triangular matmul
+                prefix = jax.lax.dot_general(
+                    log1m, uexcl[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                log_t_exc = log_t_all + prefix
+                log_t_inc = log_t_exc + log1m
+                contrib = log_t_inc >= LOG_TERM
+                w = jnp.where(contrib, alpha * jnp.exp(log_t_exc), 0.0)
 
-        def cond(carry):
-            k, log_t_all, _, _ = carry
-            alive = jnp.max(log_t_all) >= LOG_TERM
-            return (k < n_chunks) & alive
+                acc = acc + jax.lax.dot_general(
+                    w, feat_buf[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                log_t_all = log_t_all + jnp.sum(log1m, axis=1,
+                                                keepdims=True)
+                log_t_fin = log_t_fin + jnp.sum(
+                    jnp.where(contrib, log1m, 0.0), axis=1, keepdims=True)
+                return k + 1, log_t_all, log_t_fin, acc
+
+            def cond(carry):
+                k, log_t_all, _, _ = carry
+                return (k < n_chunks) & (jnp.max(log_t_all) >= LOG_TERM)
+
+            _, log_t_all, log_t_fin, acc = jax.lax.while_loop(
+                cond, step,
+                (jnp.zeros((), jnp.int32), log_t_all0, log_t_fin0, acc0))
+            return b + 1, log_t_all, log_t_fin, acc
+
+        def bucket_cond(bcarry):
+            b, log_t_all, _, _ = bcarry
+            return (b < n_buckets) & (jnp.max(log_t_all) >= LOG_TERM)
 
         init = (jnp.zeros((), jnp.int32),
                 jnp.zeros((npix, 1), jnp.float32),
                 jnp.zeros((npix, 1), jnp.float32),
                 jnp.zeros((npix, c_out), jnp.float32))
-        _, _, log_t_fin, acc = jax.lax.while_loop(cond, step, init)
+        _, _, log_t_fin, acc = jax.lax.while_loop(bucket_cond, bucket_step,
+                                                  init)
         out_ref[0] = acc
         tfin_ref[0] = jnp.exp(log_t_fin)
 
@@ -155,7 +166,7 @@ def _chunked_take(src: jnp.ndarray, idx: jnp.ndarray,
 
 def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
                   opacity: jnp.ndarray, feats: jnp.ndarray,
-                  max_pairs: int, chunk: int = 256):
+                  max_pairs: int, chunk: int = 256, n_buckets: int = 1):
     """Gather per-pair geometry/features in sorted (tile, depth) order.
 
     Valid pairs occupy the front of the sorted binning arrays (sentinels
@@ -167,10 +178,17 @@ def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
     Returns (start [ntiles], count [ntiles], pair_geo [8, max_pairs],
     pair_feats [max_pairs, C_pad]).
     """
-    gid = binning.pair_gid[:max_pairs]
-    start = jnp.minimum(binning.tile_start, max_pairs).astype(jnp.int32)
-    end = jnp.minimum(binning.tile_start + binning.tile_count, max_pairs)
-    count = (end - start).astype(jnp.int32)
+    if n_buckets > 1:
+        # BucketedBinning: pair_gid already capped per bucket; ranges are
+        # flat [ntiles, B] -> [ntiles*B]
+        gid = binning.pair_gid
+        start = binning.tile_start.reshape(-1).astype(jnp.int32)
+        count = binning.tile_count.reshape(-1).astype(jnp.int32)
+    else:
+        gid = binning.pair_gid[:max_pairs]
+        start = jnp.minimum(binning.tile_start, max_pairs).astype(jnp.int32)
+        end = jnp.minimum(binning.tile_start + binning.tile_count, max_pairs)
+        count = (end - start).astype(jnp.int32)
 
     # per-gaussian packed geometry rows, gathered per pair then transposed
     zeros = jnp.zeros_like(opacity)
@@ -189,16 +207,18 @@ def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
-                     "interpret"))
+                     "interpret", "n_buckets"))
 def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
                            pair_geo: jnp.ndarray, pair_feats: jnp.ndarray,
                            *, tile_w: int, tile_h: int, ntx: int,
                            ntiles: int, chunk: int = 256,
-                           interpret: bool = False):
+                           interpret: bool = False, n_buckets: int = 1):
     """Run the forward compositing kernel.
 
     Args:
-      tile_start/tile_count: [ntiles] int32 ranges into the pair arrays.
+      tile_start/tile_count: [ntiles * n_buckets] int32 flat ranges into
+        the pair arrays (bucket-major per tile; n_buckets=1 is the flat
+        single-sort layout).
       pair_geo: [8, PAIRS_PAD] f32 rows (x, y, conic a/b/c, opacity, pad).
       pair_feats: [PAIRS_PAD, C] f32 blend features (rgb+lf+depth, padded
         lanes OK).
@@ -213,7 +233,7 @@ def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
 
     kernel = functools.partial(
         _forward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
-        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad)
+        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -248,28 +268,33 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
                            width: int, height: int, tile_w: int, tile_h: int,
                            max_pairs: int, chunk: int = 256,
                            interpret: bool = False,
-                           differentiable: bool = False):
+                           differentiable: bool = False,
+                           n_buckets: int = 1):
     """Full-image forward compositing via the Pallas kernel.
 
-    Returns (img [H, W, C], t_final [H, W]) with C = feats channel count.
-    With differentiable=True, gradients flow to mean2d/conic/opacity/feats
-    through the Pallas backward kernel + the gathers' scatter-add VJP.
+    Accepts either a flat Binning (n_buckets=1) or a BucketedBinning (pass
+    the matching n_buckets). Returns (img [H, W, C], t_final [H, W]) with
+    C = feats channel count. With differentiable=True, gradients flow to
+    mean2d/conic/opacity/feats through the Pallas backward kernel + the
+    gathers' scatter-add VJP.
     """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
     c = feats.shape[1]
     start, count, geo, pf = prepare_pairs(
-        binning, mean2d, conic, opacity, feats, max_pairs, chunk)
+        binning, mean2d, conic, opacity, feats, max_pairs, chunk,
+        n_buckets=n_buckets)
     if differentiable:
         from legslam_tpu.ops.pallas.composite_bwd import make_composite_vjp
         fn = make_composite_vjp(tile_w, tile_h, ntx, ntiles, chunk,
-                                interpret)
+                                interpret, n_buckets)
         acc, tfin = fn(start, count, geo, pf)
     else:
         acc, tfin = composite_tiles_pallas(
             start, count, geo, pf, tile_w=tile_w, tile_h=tile_h, ntx=ntx,
-            ntiles=ntiles, chunk=chunk, interpret=interpret)
+            ntiles=ntiles, chunk=chunk, interpret=interpret,
+            n_buckets=n_buckets)
     c_out = acc.shape[-1]
     img = acc.reshape(nty, ntx, tile_h, tile_w, c_out)
     img = img.transpose(0, 2, 1, 3, 4).reshape(

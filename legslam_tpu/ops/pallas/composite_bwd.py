@@ -71,13 +71,10 @@ def _alpha_terms(geo_buf, px, py, start, count, off, chunk):
 def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                      gout_ref, gtfin_ref, tfin_ref, uexcl, uincl,
                      dgeo_hbm, dfeats_hbm, *, chunk: int, tile_w: int,
-                     tile_h: int, ntx: int, c_out: int, pairs_pad: int):
+                     tile_h: int, ntx: int, c_out: int, pairs_pad: int,
+                     n_buckets: int):
     t = pl.program_id(0)
     npix = tile_h * tile_w
-    start = tile_start[t]
-    count = tile_count[t]
-    base0 = (start // chunk) * chunk
-    n_chunks = (start + count - base0 + chunk - 1) // chunk
 
     tx = (t % ntx) * tile_w
     ty = (t // ntx) * tile_h
@@ -112,7 +109,7 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                 return 0
             jax.lax.fori_loop(0, pairs_pad // chunk, zero_step, 0)
 
-        def fetch(k):
+        def fetch(base0, k):
             off = pl.multiple_of(base0 + k * chunk, chunk)
             g = pltpu.make_async_copy(
                 geo_hbm.at[:, pl.ds(off, chunk)], geo_buf, sem.at[0])
@@ -125,9 +122,16 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             return off
 
         # ---- pass A: Stotal[px] = sum_j dw_j * w_j ----
-        def pass_a(carry):
+        def bucket_a(bcarry):
+          b, log_t_all0, stot0 = bcarry
+          start = tile_start[t * n_buckets + b]
+          count = tile_count[t * n_buckets + b]
+          base0 = (start // chunk) * chunk
+          n_chunks = (start + count - base0 + chunk - 1) // chunk
+
+          def pass_a(carry):
             k, log_t_all, stot = carry
-            off = fetch(k)
+            off = fetch(base0, k)
             a = _alpha_terms(geo_buf, px, py, start, count, off, chunk)
             log1m = jnp.log1p(-a["alpha"])
             prefix = jax.lax.dot_general(
@@ -143,19 +147,35 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             log_t_all = log_t_all + jnp.sum(log1m, axis=1, keepdims=True)
             return k + 1, log_t_all, stot
 
-        def cond_a(carry):
+          def cond_a(carry):
             k, log_t_all, _ = carry
             return (k < n_chunks) & (jnp.max(log_t_all) >= LOG_TERM)
 
-        initA = (jnp.zeros((), jnp.int32),
-                 jnp.zeros((npix, 1), jnp.float32),
-                 jnp.zeros((npix, 1), jnp.float32))
-        _, _, stot = jax.lax.while_loop(cond_a, pass_a, initA)
+          _, log_t_all, stot = jax.lax.while_loop(
+              cond_a, pass_a,
+              (jnp.zeros((), jnp.int32), log_t_all0, stot0))
+          return b + 1, log_t_all, stot
+
+        def bcond_a(bcarry):
+            b, log_t_all, _ = bcarry
+            return (b < n_buckets) & (jnp.max(log_t_all) >= LOG_TERM)
+
+        _, _, stot = jax.lax.while_loop(
+            bcond_a, bucket_a,
+            (jnp.zeros((), jnp.int32), jnp.zeros((npix, 1), jnp.float32),
+             jnp.zeros((npix, 1), jnp.float32)))
 
         # ---- pass B: per-pair gradients ----
-        def pass_b(carry):
+        def bucket_b(bcarry):
+          b, log_t_all0, s_prefix0 = bcarry
+          start = tile_start[t * n_buckets + b]
+          count = tile_count[t * n_buckets + b]
+          base0 = (start // chunk) * chunk
+          n_chunks = (start + count - base0 + chunk - 1) // chunk
+
+          def pass_b(carry):
             k, log_t_all, s_prefix = carry
-            off = fetch(k)
+            off = fetch(base0, k)
             a = _alpha_terms(geo_buf, px, py, start, count, off, chunk)
             alpha = a["alpha"]
             log1m = jnp.log1p(-alpha)
@@ -232,14 +252,23 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             s_prefix = s_prefix + jnp.sum(q, axis=1, keepdims=True)
             return k + 1, log_t_all, s_prefix
 
-        def cond_b(carry):
+          def cond_b(carry):
             k, log_t_all, _ = carry
             return (k < n_chunks) & (jnp.max(log_t_all) >= LOG_TERM)
 
-        initB = (jnp.zeros((), jnp.int32),
-                 jnp.zeros((npix, 1), jnp.float32),
-                 jnp.zeros((npix, 1), jnp.float32))
-        jax.lax.while_loop(cond_b, pass_b, initB)
+          _, log_t_all, s_prefix = jax.lax.while_loop(
+              cond_b, pass_b,
+              (jnp.zeros((), jnp.int32), log_t_all0, s_prefix0))
+          return b + 1, log_t_all, s_prefix
+
+        def bcond_b(bcarry):
+            b, log_t_all, _ = bcarry
+            return (b < n_buckets) & (jnp.max(log_t_all) >= LOG_TERM)
+
+        jax.lax.while_loop(
+            bcond_b, bucket_b,
+            (jnp.zeros((), jnp.int32), jnp.zeros((npix, 1), jnp.float32),
+             jnp.zeros((npix, 1), jnp.float32)))
 
     pl.run_scoped(
         body,
@@ -254,11 +283,12 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
-                     "interpret"))
+                     "interpret", "n_buckets"))
 def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
                               gout, gtfin, tfin, *, tile_w: int,
                               tile_h: int, ntx: int, ntiles: int,
-                              chunk: int = 256, interpret: bool = False):
+                              chunk: int = 256, interpret: bool = False,
+                              n_buckets: int = 1):
     """Run the backward kernel. gout/gtfin/tfin are [ntiles, npix, C/1/1].
     Returns (dgeo [8, PAIRS], dfeats [PAIRS, C])."""
     pairs_pad = pair_geo.shape[1]
@@ -269,7 +299,7 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
 
     kernel = functools.partial(
         _backward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
-        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad)
+        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -309,7 +339,7 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
 
 @functools.lru_cache(maxsize=32)
 def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
-                       chunk: int, interpret: bool):
+                       chunk: int, interpret: bool, n_buckets: int = 1):
     """Differentiable tile compositing: Pallas forward + Pallas backward.
 
     Returns f(start, count, geo, feats) -> (acc, tfin) with gradients
@@ -321,7 +351,8 @@ def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
     def f(start, count, geo, feats):
         return composite_tiles_pallas(
             start, count, geo, feats, tile_w=tile_w, tile_h=tile_h,
-            ntx=ntx, ntiles=ntiles, chunk=chunk, interpret=interpret)
+            ntx=ntx, ntiles=ntiles, chunk=chunk, interpret=interpret,
+            n_buckets=n_buckets)
 
     def fwd(start, count, geo, feats):
         acc, tfin = f(start, count, geo, feats)
@@ -333,7 +364,7 @@ def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
         dgeo, dfeats = composite_backward_pallas(
             start, count, geo, feats, dacc, dtfin, tfin,
             tile_w=tile_w, tile_h=tile_h, ntx=ntx, ntiles=ntiles,
-            chunk=chunk, interpret=interpret)
+            chunk=chunk, interpret=interpret, n_buckets=n_buckets)
         zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
         return zi(start), zi(count), dgeo, dfeats
 

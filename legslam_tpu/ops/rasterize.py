@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from legslam_tpu.config import RasterizeConfig
-from legslam_tpu.ops.binning import Binning, bin_gaussians
+from legslam_tpu.ops.binning import (Binning, bin_gaussians,
+    bin_gaussians_bucketed)
 from legslam_tpu.ops.composite import blend_weights, masked_alpha
 from legslam_tpu.ops.projection import Preprocessed, preprocess
 from legslam_tpu.utils.camera import CameraView
@@ -167,15 +168,22 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
     parts.append(depth_const[:, None])
     feats = jnp.concatenate(parts, axis=-1)
 
-    binning = bin_gaussians(pre, width, height, cfg)
     if cfg.backend == "pallas":
         from legslam_tpu.ops.pallas.composite import composite_image_pallas
+        nb = getattr(cfg, "n_buckets", 1)
+        if nb > 1:
+            binning = bin_gaussians_bucketed(
+                pre, width, height, cfg, nb, cfg.bucket_cap)
+        else:
+            binning = bin_gaussians(pre, width, height, cfg)
         img, t_final = composite_image_pallas(
             binning, pre.mean2d, pre.conic, opacity, feats, width, height,
             cfg.tile_w, cfg.tile_h, cfg.max_pairs, cfg.chunk,
-            interpret=cfg.pallas_interpret, differentiable=True)
+            interpret=cfg.pallas_interpret, differentiable=True,
+            n_buckets=nb)
         img = img[..., :feats.shape[-1]]
     else:
+        binning = bin_gaussians(pre, width, height, cfg)
         img, t_final = _composite_tiles(
             binning, pre.mean2d, pre.conic, opacity, feats,
             width, height, cfg, max_per_tile)
