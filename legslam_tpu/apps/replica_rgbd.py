@@ -74,6 +74,12 @@ def main(argv=None):
     total = time.perf_counter() - t_start
     frontend.finish()
 
+    # short sequences may never hit min_num_initial_map_kfs while feeding;
+    # the feed is done now, so force initialization from whatever arrived
+    mapper.drain_operations(limit=10_000)
+    if mapper.state is None and len(mapper.keyframes):
+        mapper.initialize_map()
+
     # tail optimization + artifacts (gaussian_mapper.cpp:538-553)
     for _ in range(int(0.8 * mapper.opt.densification_interval)):
         mapper.train_iteration()

@@ -139,9 +139,11 @@ class RasterizeConfig:
 
     tile_h: int = TILE_H
     tile_w: int = TILE_W
-    # per-gaussian static tile-span cap (pairs beyond are dropped)
-    max_span_x: int = 10
-    max_span_y: int = 16
+    # per-gaussian static tile-span cap (pairs beyond are dropped);
+    # 4x8 tiles of 128x16 px covers gaussians up to ~±192px horizontally /
+    # ±56px vertically — prune caps radii at 20px in steady state
+    max_span_x: int = 4
+    max_span_y: int = 8
     # per-tile chunk of gaussians composited per scan step
     chunk: int = 256
     # tiles processed per lax.map batch (memory knob, xla backend)

@@ -123,7 +123,21 @@ class ReplicaDataset(BaseDataset):
         if os.path.exists(traj):
             rows = np.loadtxt(traj).reshape(-1, 4, 4).astype(np.float32)
             self._poses = list(rows)
+        # scale the nominal Replica intrinsics to the actual image size
+        # (the reference resizes frames to the settings resolution instead,
+        # examples/replica_rgbd.cpp:158-160)
         self.intrinsics = dict(REPLICA_INTRINSICS)
+        sample = _imread_color(self._color_paths[0])
+        h, w = sample.shape[:2]
+        if (w, h) != (self.intrinsics["width"], self.intrinsics["height"]):
+            sx = w / self.intrinsics["width"]
+            sy = h / self.intrinsics["height"]
+            self.intrinsics = dict(
+                width=w, height=h,
+                fx=self.intrinsics["fx"] * sx,
+                fy=self.intrinsics["fy"] * sy,
+                cx=(self.intrinsics["cx"] + 0.5) * sx - 0.5,
+                cy=(self.intrinsics["cy"] + 0.5) * sy - 0.5)
 
 
 def _numeric_sort(paths):
