@@ -32,6 +32,11 @@ def main(argv=None):
                         help="dir with dinov2.npz/pca.npz for the LF encoder")
     parser.add_argument("--no-lf", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-per-tile", type=int, default=2048,
+                        help="per-tile compositing cap (xla backend)")
+    parser.add_argument("--tile-batch", type=int, default=32)
+    parser.add_argument("--backend", default=None,
+                        help="override compositing backend (xla|pallas)")
     args = parser.parse_args(argv)
 
     from legslam_tpu.data.datasets import open_dataset
@@ -39,12 +44,20 @@ def main(argv=None):
     from legslam_tpu.slam.trajectory import TrajectoryFrontend
     from legslam_tpu.utils.runtime import enable_compilation_cache
 
+    import dataclasses as _dc
+    import jax as _jax
+
+    from legslam_tpu.config import RasterizeConfig
+
     enable_compilation_cache()
+    backend = args.backend or (
+        "pallas" if _jax.default_backend() not in ("cpu",) else "xla")
+    cfg = RasterizeConfig(backend=backend, tile_batch=args.tile_batch)
     ds = open_dataset(args.data)
     frontend = TrajectoryFrontend(ds.intrinsics, kf_stride=args.kf_stride)
-    mapper = GaussianMapper(frontend.queue, ds.intrinsics,
+    mapper = GaussianMapper(frontend.queue, ds.intrinsics, cfg=cfg,
                             capacity=args.capacity, result_dir=args.out,
-                            seed=args.seed,
+                            seed=args.seed, max_per_tile=args.max_per_tile,
                             include_lang_feat=not args.no_lf)
 
     encoder = None

@@ -123,3 +123,20 @@ def cosine_heatmap(lf_image: jnp.ndarray, text_emb: jnp.ndarray,
     lo = sim.min(axis=(1, 2), keepdims=True)
     hi = sim.max(axis=(1, 2), keepdims=True)
     return 1.0 - (sim - lo) / jnp.maximum(hi - lo, 1e-12)
+
+
+def build_image_embedding(dino_params: dict, pca: PCA.PCAParams,
+                          rgb: jnp.ndarray, cfg=None) -> jnp.ndarray:
+    """Image-as-query embedding (eval/utils.py:113-171): DINOv2 patch
+    tokens, L2-normalized, averaged, PCA-compressed -> [64]. Lets images be
+    used in place of text for similarity queries."""
+    from legslam_tpu.models import dinov2 as D
+    cfg = cfg or D.DinoV2Config()
+    size = cfg.image_size
+    x = jax.image.resize(rgb[None], (1, size, size, 3), method="linear")
+    x = D.imagenet_normalize(x)
+    feats = D.forward(dino_params, x, cfg)[0]          # [G*G, 768]
+    feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-12)
+    emb = feats.mean(axis=0)
+    emb = emb / jnp.linalg.norm(emb).clip(1e-12)
+    return PCA.apply_pca(pca, emb[None])[0]

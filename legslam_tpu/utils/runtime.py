@@ -17,7 +17,12 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
-    jax.config.update("jax_compilation_cache_dir", path or _CACHE_DIR)
+    if path is None:
+        # per-platform subdir: axon-compiled artifacts carry host machine
+        # features that poison CPU loads (observed SIGILL-risk warnings)
+        platform = jax.default_backend()
+        path = os.path.join(_CACHE_DIR, platform)
+    jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
