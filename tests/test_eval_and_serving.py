@@ -128,3 +128,43 @@ def test_stdlib_api(tmp_path, rng):
         assert abs(c[0] - 1.0) < 0.2
     finally:
         server.shutdown()
+
+
+def test_scannet_segmentation_scoring(rng):
+    """End-to-end mIoU scoring path with synthetic GT labels."""
+    from legslam_tpu.eval_harness.scannet_eval import evaluate_segmentation
+
+    class FakeView:
+        width, height = 64, 32
+
+    class FakeKF:
+        def __init__(self):
+            self.R = np.eye(3, dtype=np.float32)
+            self.t = np.zeros(3, np.float32)
+            self.views = [FakeView()]
+
+    text = np.eye(3, 64, dtype=np.float32)  # 3 classes
+
+    class FakeOut:
+        def __init__(self, lf):
+            self.lang_feat = lf
+
+    class FakeMapper:
+        keyframes = {0: FakeKF(), 1: FakeKF()}
+
+        def render_from_pose(self, R, t, w, h, include_lang_feat=True):
+            lf = np.zeros((h, w, 64), np.float32)
+            lf[:, : w // 2] = -text[0] * 5   # class 1 on the left
+            lf[:, w // 2:] = -text[1] * 5    # class 2 on the right
+            return FakeOut(lf)
+
+    def gt_loader(fid):
+        gt = np.zeros((32, 64), np.int64)
+        gt[:, :32] = 1
+        gt[:, 32:] = 2
+        return gt
+
+    scores = evaluate_segmentation(FakeMapper(), text, gt_loader,
+                                   frame_ids=[0, 1], num_classes=4,
+                                   every_nth=1)
+    assert scores["miou"] > 0.95, scores["miou"]
