@@ -76,10 +76,11 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     fps = 1.0 / dt
+    scale = f"{width}x{height} render+LF+depth+bwd+adam, {n_points} gaussians"
     print(json.dumps({
         "metric": "replica_scale_mapping_iteration_fps",
         "value": round(fps, 3),
-        "unit": "iters/s (1200x680 render+LF+depth+bwd+adam, 200k gaussians)",
+        "unit": f"iters/s ({scale}, {backend} backend)",
         "vs_baseline": round(fps / 10.0, 3),
     }))
 
