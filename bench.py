@@ -68,12 +68,18 @@ def main():
     st, aux = step(st, 0)
     jax.block_until_ready(aux.loss)
 
-    t0 = time.perf_counter()
+    times = []
     for i in range(iters):
+        t0 = time.perf_counter()
         st, aux = step(st, i + 1)
         float(aux.loss)  # per-step host sync: axon's block_until_ready alone
         # has been observed not to force the dispatched chain
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    # median: the axon tunnel intermittently stalls whole seconds per call
+    # (service-side; observed 10x degradation over hours with identical
+    # executables) — the median resists those stalls
+    times.sort()
+    dt = times[len(times) // 2]
 
     fps = 1.0 / dt
     scale = f"{width}x{height} render+LF+depth+bwd+adam, {n_points} gaussians"
