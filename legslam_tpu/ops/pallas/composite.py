@@ -153,15 +153,36 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     )
 
 
-def _chunked_take(src: jnp.ndarray, idx: jnp.ndarray,
-                  n_chunks: int = 64) -> jnp.ndarray:
+@jax.custom_vjp
+def _chunked_take(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row gather via lax.map chunks: XLA's single big gather both
     compile-hangs and runs slowly on this TPU stack; 64 chunked gathers
-    compile fast and run ~4x faster (measured)."""
+    compile fast and run ~4x faster (measured).
+
+    Custom VJP: autodiff of the chunked map would scan 64 scatter-adds,
+    each carrying the FULL [P, C] accumulator (~17 GB of HBM traffic at
+    production scale, measured 187 ms); one flat scatter-add costs ~43 ms.
+    """
     n = idx.shape[0]
+    n_chunks = 64
     assert n % n_chunks == 0, (n, n_chunks)
     out = jax.lax.map(lambda ix: src[ix], idx.reshape(n_chunks, -1))
     return out.reshape((n,) + src.shape[1:])
+
+
+def _chunked_take_fwd(src, idx):
+    # src rides along as a residual only to carry its shape/dtype (no copy)
+    return _chunked_take(src, idx), (idx, src)
+
+
+def _chunked_take_bwd(res, g):
+    idx, src = res
+    dsrc = jnp.zeros_like(src).at[idx].add(
+        g.astype(src.dtype), mode="drop")
+    return dsrc, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_chunked_take.defvjp(_chunked_take_fwd, _chunked_take_bwd)
 
 
 def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
