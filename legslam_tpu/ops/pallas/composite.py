@@ -56,16 +56,25 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     py = (ty + pix_lin // tile_w).astype(jnp.float32)
 
     def body(geo_buf, feat_buf, geo_sem, feat_sem):
-        def fetch(base0, k):
-            # chunk-aligned DMA base (rounded down); out-of-range lanes
-            # are masked in the compute
+        # geo_buf/feat_buf are double-buffered ([2, ...]); fetch k+1 is in
+        # flight while chunk k computes
+        def dma_pair(base0, k, slot):
             off = pl.multiple_of(base0 + k * chunk, chunk)
             g = pltpu.make_async_copy(
-                geo_hbm.at[:, pl.ds(off, chunk)], geo_buf, geo_sem)
+                geo_hbm.at[:, pl.ds(off, chunk)], geo_buf.at[slot],
+                geo_sem.at[slot])
             f = pltpu.make_async_copy(
-                feats_hbm.at[pl.ds(off, chunk), :], feat_buf, feat_sem)
+                feats_hbm.at[pl.ds(off, chunk), :], feat_buf.at[slot],
+                feat_sem.at[slot])
+            return off, g, f
+
+        def start_fetch(base0, k):
+            _, g, f = dma_pair(base0, k, k % 2)
             g.start()
             f.start()
+
+        def wait_fetch(base0, k):
+            off, g, f = dma_pair(base0, k, k % 2)
             g.wait()
             f.wait()
             return off
@@ -77,16 +86,26 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
             base0 = (start // chunk) * chunk
             n_chunks = (start + count - base0 + chunk - 1) // chunk
 
+            @pl.when(n_chunks > 0)
+            def _():
+                start_fetch(base0, 0)
+
             def step(carry):
                 k, log_t_all, log_t_fin, acc = carry
-                off = fetch(base0, k)
+                off = wait_fetch(base0, k)
+
+                @pl.when(k + 1 < n_chunks)
+                def _():
+                    start_fetch(base0, k + 1)
+
+                slot = k % 2
                 # lane-broadcast rows [1, chunk]
-                gx = geo_buf[GEO_X:GEO_X + 1, :]
-                gy = geo_buf[GEO_Y:GEO_Y + 1, :]
-                ca = geo_buf[GEO_A:GEO_A + 1, :]
-                cb = geo_buf[GEO_B:GEO_B + 1, :]
-                cc = geo_buf[GEO_C:GEO_C + 1, :]
-                op = geo_buf[GEO_OP:GEO_OP + 1, :]
+                gx = geo_buf[slot, GEO_X:GEO_X + 1, :]
+                gy = geo_buf[slot, GEO_Y:GEO_Y + 1, :]
+                ca = geo_buf[slot, GEO_A:GEO_A + 1, :]
+                cb = geo_buf[slot, GEO_B:GEO_B + 1, :]
+                cc = geo_buf[slot, GEO_C:GEO_C + 1, :]
+                op = geo_buf[slot, GEO_OP:GEO_OP + 1, :]
 
                 dx = gx - px          # [npix, chunk]
                 dy = gy - py
@@ -113,7 +132,7 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
                 w = jnp.where(contrib, alpha * jnp.exp(log_t_exc), 0.0)
 
                 acc = acc + jax.lax.dot_general(
-                    w, feat_buf[:],
+                    w, feat_buf[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 log_t_all = log_t_all + jnp.sum(log1m, axis=1,
@@ -126,9 +145,15 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
                 k, log_t_all, _, _ = carry
                 return (k < n_chunks) & (jnp.max(log_t_all) >= LOG_TERM)
 
-            _, log_t_all, log_t_fin, acc = jax.lax.while_loop(
+            k_fin, log_t_all, log_t_fin, acc = jax.lax.while_loop(
                 cond, step,
                 (jnp.zeros((), jnp.int32), log_t_all0, log_t_fin0, acc0))
+
+            # early termination leaves fetch k_fin in flight — drain it so
+            # the semaphores are clean for the next bucket/grid step
+            @pl.when(k_fin < n_chunks)
+            def _():
+                wait_fetch(base0, k_fin)
             return b + 1, log_t_all, log_t_fin, acc
 
         def bucket_cond(bcarry):
@@ -146,10 +171,10 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
 
     pl.run_scoped(
         body,
-        geo_buf=pltpu.VMEM((GEO_ROWS, chunk), jnp.float32),
-        feat_buf=pltpu.VMEM((chunk, c_out), jnp.float32),
-        geo_sem=pltpu.SemaphoreType.DMA,
-        feat_sem=pltpu.SemaphoreType.DMA,
+        geo_buf=pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
+        feat_buf=pltpu.VMEM((2, chunk, c_out), jnp.float32),
+        geo_sem=pltpu.SemaphoreType.DMA((2,)),
+        feat_sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
 

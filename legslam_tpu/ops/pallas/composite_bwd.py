@@ -69,7 +69,7 @@ def _alpha_terms(geo_buf, px, py, start, count, off, chunk):
 
 
 def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
-                     gout_ref, gtfin_ref, tfin_ref, uexcl, uincl,
+                     gout_ref, gtfin_ref, tfin_ref, acc_ref, uexcl, uincl,
                      dgeo_hbm, dfeats_hbm, *, chunk: int, tile_w: int,
                      tile_h: int, ntx: int, c_out: int, pairs_pad: int,
                      n_buckets: int):
@@ -86,6 +86,9 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
     gtfin = gtfin_ref[0]          # [npix, 1]
     tfin = tfin_ref[0]            # [npix, 1]
     gt_term = gtfin * tfin        # per-pixel gT * T_final
+    # Stotal = sum_j dw_j w_j = <gout, sum_j w_j f_j> = <gout, acc>: the
+    # forward output IS the total, so no recomputation pass is needed
+    stot = jnp.sum(gout * acc_ref[0], axis=1, keepdims=True)
 
     def body(geo_buf, feat_buf, dgeo_buf, dfeat_buf, sem):
         # t == 0 zero-initializes the HBM accumulators (outputs are
@@ -120,50 +123,6 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             g.wait()
             f.wait()
             return off
-
-        # ---- pass A: Stotal[px] = sum_j dw_j * w_j ----
-        def bucket_a(bcarry):
-          b, log_t_all0, stot0 = bcarry
-          start = tile_start[t * n_buckets + b]
-          count = tile_count[t * n_buckets + b]
-          base0 = (start // chunk) * chunk
-          n_chunks = (start + count - base0 + chunk - 1) // chunk
-
-          def pass_a(carry):
-            k, log_t_all, stot = carry
-            off = fetch(base0, k)
-            a = _alpha_terms(geo_buf, px, py, start, count, off, chunk)
-            log1m = jnp.log1p(-a["alpha"])
-            prefix = jax.lax.dot_general(
-                log1m, uexcl[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            log_t_exc = log_t_all + prefix
-            contrib = (log_t_exc + log1m) >= LOG_TERM
-            w = jnp.where(contrib, a["alpha"] * jnp.exp(log_t_exc), 0.0)
-            dw = jax.lax.dot_general(
-                gout, feat_buf[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [npix, chunk]
-            stot = stot + jnp.sum(dw * w, axis=1, keepdims=True)
-            log_t_all = log_t_all + jnp.sum(log1m, axis=1, keepdims=True)
-            return k + 1, log_t_all, stot
-
-          def cond_a(carry):
-            k, log_t_all, _ = carry
-            return (k < n_chunks) & (jnp.max(log_t_all) >= LOG_TERM)
-
-          _, log_t_all, stot = jax.lax.while_loop(
-              cond_a, pass_a,
-              (jnp.zeros((), jnp.int32), log_t_all0, stot0))
-          return b + 1, log_t_all, stot
-
-        def bcond_a(bcarry):
-            b, log_t_all, _ = bcarry
-            return (b < n_buckets) & (jnp.max(log_t_all) >= LOG_TERM)
-
-        _, _, stot = jax.lax.while_loop(
-            bcond_a, bucket_a,
-            (jnp.zeros((), jnp.int32), jnp.zeros((npix, 1), jnp.float32),
-             jnp.zeros((npix, 1), jnp.float32)))
 
         # ---- pass B: per-pair gradients ----
         def bucket_b(bcarry):
@@ -285,11 +244,13 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
     static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
                      "interpret", "n_buckets"))
 def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
-                              gout, gtfin, tfin, *, tile_w: int,
+                              gout, gtfin, tfin, acc, *, tile_w: int,
                               tile_h: int, ntx: int, ntiles: int,
                               chunk: int = 256, interpret: bool = False,
                               n_buckets: int = 1):
-    """Run the backward kernel. gout/gtfin/tfin are [ntiles, npix, C/1/1].
+    """Run the backward kernel. gout/gtfin/tfin/acc are
+    [ntiles, npix, C/1/1/C] (acc = the saved forward output, which equals
+    the per-pixel weighted feature total needed for the suffix sums).
     Returns (dgeo [8, PAIRS], dfeats [PAIRS, C])."""
     pairs_pad = pair_geo.shape[1]
     c_out = pair_feats.shape[1]
@@ -313,6 +274,8 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
                          memory_space=pltpu.VMEM),  # gtfin
             pl.BlockSpec((1, npix, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # tfin
+            pl.BlockSpec((1, npix, c_out), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),  # acc (forward output)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # uexcl
             pl.BlockSpec(memory_space=pltpu.VMEM),  # uincl
         ],
@@ -333,7 +296,7 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
             has_side_effects=True),
         interpret=interpret,
     )(tile_start, tile_count, pair_geo, pair_feats, gout, gtfin, tfin,
-      uexcl, uincl)
+      acc, uexcl, uincl)
     return dgeo, dfeats
 
 
@@ -356,13 +319,13 @@ def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
 
     def fwd(start, count, geo, feats):
         acc, tfin = f(start, count, geo, feats)
-        return (acc, tfin), (start, count, geo, feats, tfin)
+        return (acc, tfin), (start, count, geo, feats, tfin, acc)
 
     def bwd(res, cots):
-        start, count, geo, feats, tfin = res
+        start, count, geo, feats, tfin, acc = res
         dacc, dtfin = cots
         dgeo, dfeats = composite_backward_pallas(
-            start, count, geo, feats, dacc, dtfin, tfin,
+            start, count, geo, feats, dacc, dtfin, tfin, acc,
             tile_w=tile_w, tile_h=tile_h, ntx=ntx, ntiles=ntiles,
             chunk=chunk, interpret=interpret, n_buckets=n_buckets)
         zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
