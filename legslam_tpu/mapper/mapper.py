@@ -262,6 +262,21 @@ class GaussianMapper:
             if op is None:
                 break
             self.handle_operation(op)
+        if self.mp.cull_keyframes:
+            self.cull_keyframes()
+
+    def cull_keyframes(self) -> None:
+        """Drop mapper keyframes the SLAM frontend no longer tracks
+        (gaussian_mapper.cpp:1235-1251)."""
+        live = None
+        getter = getattr(self.source, "live_keyframe_ids", None)
+        if getter is None:
+            return
+        live = getter()
+        if not live:
+            return
+        for fid in [f for f in self.keyframes if f not in live]:
+            del self.keyframes[fid]
 
     def _pick_keyframe(self) -> Optional[MapKeyframe]:
         """Shuffled times-of-use scheduler

@@ -54,13 +54,17 @@ class TrajectoryFrontend:
 
     def __init__(self, intrinsics: dict, kf_stride: int = 8,
                  max_corners: int = 800, min_depth: float = 1e-6,
-                 max_depth: float = 40.0):
+                 max_depth: float = 40.0, map_point_ratio: float = 0.25):
         self.queue = OperationQueue()
         self.intr = intrinsics
         self.kf_stride = kf_stride
         self.max_corners = max_corners
         self.min_depth = min_depth
         self.max_depth = max_depth
+        # fraction of keypoints promoted to map points; the rest stay
+        # untriangulated (z = -1) and feed the mapper's inactive-geometry
+        # densification, like ORB-SLAM3's sparse triangulation
+        self.map_point_ratio = map_point_ratio
         self._n_keyframes = 0
 
     def track(self, frame: RGBDFrame,
@@ -83,6 +87,14 @@ class TrajectoryFrontend:
             yi = np.clip(kp[:, 1].astype(int), 0, frame.color.shape[0] - 1)
             d = frame.depth[yi, xi]
             ok = (d > self.min_depth) & (d < self.max_depth)
+            # promote only a subset to map points (ORB-SLAM triangulates
+            # sparsely); the remainder are exported with z = -1 for the
+            # mapper's inactive-geo densify (gaussian_mapper.cpp:1253-1492)
+            stride = max(int(round(1.0 / max(self.map_point_ratio, 1e-6))),
+                         1)
+            promoted = np.zeros_like(ok)
+            promoted[::stride] = True
+            ok = ok & promoted
             z = np.where(ok, d, -1.0)
             pts_local[:, 0] = np.where(ok, (kp[:, 0] - cx) / fx * d, -1.0)
             pts_local[:, 1] = np.where(ok, (kp[:, 1] - cy) / fy * d, -1.0)
