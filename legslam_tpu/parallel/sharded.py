@@ -47,6 +47,11 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     import numpy as np
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}): only {len(devices)} devices "
+                "available — force the virtual CPU platform first "
+                "(legslam_tpu.utils.runtime.force_cpu)")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), axis_names=("data",))
 
