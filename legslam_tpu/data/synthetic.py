@@ -37,13 +37,17 @@ class SyntheticDataset(BaseDataset):
 
     def __init__(self, n_frames: int = 40, width: int = 320,
                  height: int = 192, n_gaussians: int = 6000, seed: int = 0,
-                 radius: float = 2.0):
+                 radius: float = 2.0, revolutions: float = 0.5,
+                 clutter_ratio: float = 0.5):
         rng = np.random.default_rng(seed)
         self.intrinsics = dict(width=width, height=height,
                                fx=0.8 * width, fy=0.8 * width,
                                cx=width / 2 - 0.5, cy=height / 2 - 0.5)
-        # a box room: gaussians on the walls of a [-4,4]^3 cube + clutter
-        n_wall = n_gaussians // 2
+        # a box room: gaussians on the walls of a [-4,4]^3 cube + clutter.
+        # clutter_ratio=0 gives a surface-only scene (coherent depth —
+        # what visual-tracking tests need); the default half-clutter fog
+        # stresses the renderer instead.
+        n_wall = n_gaussians - int(n_gaussians * clutter_ratio)
         walls = rng.uniform(-4, 4, size=(n_wall, 3)).astype(np.float32)
         axis = rng.integers(0, 3, n_wall)
         sign = rng.choice([-4.0, 4.0], n_wall)
@@ -62,7 +66,7 @@ class SyntheticDataset(BaseDataset):
 
         self._poses = []
         for i in range(n_frames):
-            a = 2 * np.pi * i / max(n_frames, 1) * 0.5
+            a = 2 * np.pi * i / max(n_frames, 1) * revolutions
             eye = (radius * np.cos(a), 0.3 * np.sin(2 * a),
                    radius * np.sin(a))
             self._poses.append(_look_at(eye, (0.0, 0.0, 0.0)))
@@ -97,9 +101,17 @@ class SyntheticDataset(BaseDataset):
             self._quats, np.ones(self._xyz.shape[0], bool), view,
             jnp.zeros(3), active_sh_degree=0, cfg=self._cfg,
             max_per_tile=1024)
+        # sensor-like surface depth: the raw composite is alpha-weighted
+        # (sums w_i * d_i with leftover transmittance unassigned), which
+        # underestimates depth on soft/background pixels; normalize by the
+        # hit probability and invalidate near-misses like a real RGB-D
+        # sensor reports holes
+        hit = 1.0 - np.asarray(out.final_t)
+        depth = np.where(hit > 0.5, np.asarray(out.depth) / np.maximum(
+            hit, 1e-6), 0.0).astype(np.float32)
         frame = RGBDFrame(
             index=i, timestamp=float(i),
             color=np.clip(np.asarray(out.color), 0.0, 1.0),
-            depth=np.asarray(out.depth), c2w=c2w)
+            depth=depth, c2w=c2w)
         self._cache[i] = frame
         return frame

@@ -221,13 +221,28 @@ class GaussianMapper:
                 self.mp.loop_closure_increased_times_of_use
 
     def _handle_scale_refinement(self, op: MappingOperation) -> None:
-        """applyScaledTransformation over the whole map with the op's
-        similarity (gaussian_mapper.cpp:982-1016). The rigid part rides on
-        the op's first keyframe pose delta when available; IMU scale
-        refinements are usually pure scale."""
+        """applyScaledTransformation over the whole map with the op's full
+        similarity (gaussian_mapper.cpp:982-1016): the rigid part is the
+        world-frame delta of the first already-known keyframe's corrected
+        pose (x_new = inv(T_new) @ T_old @ x_old with the scale applied),
+        matching how the reference transports the map into the refined
+        world frame; pure-scale IMU refinements have identity delta."""
+        diff_R, diff_t = np.eye(3, dtype=np.float32), \
+            np.zeros(3, dtype=np.float32)
+        for packet in op.keyframes:
+            old = self.keyframes.get(packet.fid)
+            if old is not None:
+                old_w2c = np.eye(4, dtype=np.float32)
+                old_w2c[:3, :3], old_w2c[:3, 3] = old.R, old.t
+                new_w2c = np.eye(4, dtype=np.float32)
+                new_w2c[:3, :3], new_w2c[:3, 3] = packet.R, packet.t
+                diff = np.linalg.inv(new_w2c) @ old_w2c
+                diff_R, diff_t = diff[:3, :3], diff[:3, 3]
+                break
         if self.state is not None:
             self.state = G.apply_scaled_transformation(
-                self.state, op.scale, jnp.eye(3), jnp.zeros(3))
+                self.state, op.scale, jnp.asarray(diff_R),
+                jnp.asarray(diff_t))
         for packet in op.keyframes:
             self._ingest_keyframe(packet)
 
@@ -345,6 +360,17 @@ class GaussianMapper:
             loss = float(aux.loss)
             self.ema_loss = 0.6 * loss + 0.4 * self.ema_loss \
                 if self.iteration > 1 else loss
+            # overflow guardrail: the reference never drops pairs; warn
+            # when any static cap clips >0.1% so runs don't silently lose
+            # coverage/gradients (rasterizer_impl.cu sizes to num_rendered)
+            dropped = int(aux.overflow_pairs)
+            rendered = max(int(aux.num_rendered), 1)
+            if dropped > 0 and dropped / rendered > 1e-3:
+                import warnings
+                warnings.warn(
+                    f"rasterizer pair overflow: {dropped} of {rendered} "
+                    f"pairs dropped at iter {self.iteration} — raise "
+                    "max_pairs/max_span/max_per_tile", RuntimeWarning)
         self.timings.append(time.perf_counter() - t0)
 
         # densification schedule (gaussian_mapper.cpp:737-760)

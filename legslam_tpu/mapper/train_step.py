@@ -34,6 +34,8 @@ class StepAux(NamedTuple):
     depth: jnp.ndarray
     radii: jnp.ndarray
     psnr: jnp.ndarray
+    num_rendered: jnp.ndarray | int = 0
+    overflow_pairs: jnp.ndarray | int = 0
 
 
 def make_lrs(opt: OptimizationParams, spatial_lr_scale,
@@ -84,11 +86,13 @@ def train_step(state: G.GaussianState,
         loss = losses.mapping_loss(
             out.color, gt_color, out.lang_feat, gt_lang_feat, out.depth,
             gt_depth, mask, opt.lambda_dssim)
-        return loss, (out.color, out.depth, out.radii)
+        return loss, (out.color, out.depth, out.radii, out.num_rendered,
+                      out.overflow_pairs)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=tuple(range(8)),
                                  has_aux=True)
-    (loss, (color, depth, radii)), grads = grad_fn(
+    (loss, (color, depth, radii, num_rendered, overflow_pairs)), grads = \
+        grad_fn(
         p.xyz, p.f_dc, p.f_rest, p.lang_feat, p.opacity, p.scaling,
         p.rotation, offset0)
     g_params = G.GaussianParams(
@@ -112,7 +116,8 @@ def train_step(state: G.GaussianState,
     m = mask if mask.ndim == 2 else mask[..., 0]
     psnr = losses.psnr(color * m[..., None], gt_color * m[..., None])
     return state, StepAux(loss=loss, color=color, depth=depth, radii=radii,
-                          psnr=psnr)
+                          psnr=psnr, num_rendered=num_rendered,
+                          overflow_pairs=overflow_pairs)
 
 
 def upsample_lf(lf_small: jnp.ndarray, height: int, width: int

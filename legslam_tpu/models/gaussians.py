@@ -314,6 +314,29 @@ def add_densification_stats(state: GaussianState, mean2d_grad: jnp.ndarray,
     return state.replace(stats=stats)
 
 
+def add_densification_stats_batched(state: GaussianState,
+                                    mean2d_grads: jnp.ndarray,
+                                    radii: jnp.ndarray) -> GaussianState:
+    """Multi-view variant: accumulate PER-VIEW ||dL/dmean2D.xy||2 with one
+    denom increment per view visit, matching the reference's one-view-per-
+    iteration accumulation semantics (gaussian_model.cpp:834-847) under the
+    data-parallel batched step. mean2d_grads [B, P, 2] must already be
+    un-scaled by the 1/B loss mean; radii [B, P]."""
+    visible = radii > 0                                     # [B, P]
+    norm = jnp.linalg.norm(mean2d_grads[..., :2], axis=-1)  # [B, P]
+    stats = DensifyStats(
+        grad_accum=state.stats.grad_accum +
+        jnp.sum(jnp.where(visible, norm, 0.0), axis=0),
+        denom=state.stats.denom + jnp.sum(visible.astype(jnp.float32),
+                                          axis=0),
+        max_radii2d=jnp.maximum(
+            state.stats.max_radii2d,
+            jnp.max(jnp.where(visible, radii.astype(jnp.float32), 0.0),
+                    axis=0)),
+    )
+    return state.replace(stats=stats)
+
+
 def densify_and_prune(state: GaussianState, key: jax.Array,
                       grad_threshold: float, min_opacity: float,
                       extent, max_screen_size,

@@ -54,6 +54,7 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray   # [ntiles] range start into pair arrays
     tile_count: jnp.ndarray   # [ntiles] pairs per tile
     num_rendered: jnp.ndarray # [] total valid pairs
+    span_overflow: jnp.ndarray  # [] pairs lost to the static tile-span cap
 
 
 class BucketedBinning(NamedTuple):
@@ -69,6 +70,7 @@ class BucketedBinning(NamedTuple):
     tile_count: jnp.ndarray   # [ntiles, B]
     num_rendered: jnp.ndarray # [] total valid pairs (pre-truncation)
     overflow: jnp.ndarray     # [] pairs lost to per-bucket caps
+    span_overflow: jnp.ndarray  # [] pairs lost to the static tile-span cap
 
 
 def bin_gaussians(pre: Preprocessed, width: int, height: int,
@@ -129,7 +131,20 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
         key_sorted = jnp.sort(key)
 
     num_valid = jnp.sum(in_span.astype(jnp.int32))
-    pair_rank = key_sorted % P
+    # pairs a gaussian would emit beyond the static span cap (the reference
+    # never drops pairs — rasterizer_impl.cu:280-320 sizes buffers to
+    # num_rendered — so we count what the cap costs us)
+    span_overflow = jnp.sum(jnp.where(
+        v, sx * sy - jnp.minimum(sx, msx) * jnp.minimum(sy, msy), 0
+    ).astype(jnp.int32))
+    # the pallas path only ever consumes the first max_pairs sorted entries
+    # (prepare_pairs truncation) — slicing BEFORE the id gather cuts an
+    # 8x-oversized scalar gather (the emission buffer is P*span entries,
+    # mostly sentinels) that measured ~60 ms at bench scale. The xla
+    # backend indexes the full range per tile, so it keeps every entry.
+    npair = key_sorted.shape[0]
+    keep = min(cfg.max_pairs, npair) if cfg.backend == "pallas" else npair
+    pair_rank = key_sorted[:keep] % P
     pair_gid = order[pair_rank]
 
     bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * P
@@ -137,7 +152,8 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     tile_start = edges[:-1]
     tile_count = edges[1:] - edges[:-1]
     return Binning(order=order, pair_gid=pair_gid, tile_start=tile_start,
-                   tile_count=tile_count, num_rendered=num_valid)
+                   tile_count=tile_count, num_rendered=num_valid,
+                   span_overflow=span_overflow)
 
 
 def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
@@ -197,6 +213,9 @@ def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
     sentinel = ntiles * P
     kept_valid = jnp.sum((kept < sentinel).astype(jnp.int32))
     overflow = num_valid - kept_valid
+    span_overflow = jnp.sum(jnp.where(
+        v, sx * sy - jnp.minimum(sx, msx) * jnp.minimum(sy, msy), 0
+    ).astype(jnp.int32))
 
     pair_rank = (kept % P).reshape(-1)
     pair_gid = order[pair_rank]
@@ -212,4 +231,5 @@ def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
     tile_count = (edges[:, 1:] - edges[:, :-1]).T
     return BucketedBinning(order=order, pair_gid=pair_gid,
                            tile_start=tile_start, tile_count=tile_count,
-                           num_rendered=num_valid, overflow=overflow)
+                           num_rendered=num_valid, overflow=overflow,
+                           span_overflow=span_overflow)

@@ -59,25 +59,34 @@ def masked_alpha(power: jnp.ndarray, opacity: jnp.ndarray,
 
 
 def blend_weights(alpha: jnp.ndarray,
-                  t_in: jnp.ndarray | None = None
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  t_all_in: jnp.ndarray | None = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-contribution blend weights along the last (depth-ordered) axis.
 
-    Returns (weights, t_out): weights[..., k] = alpha_k * T_k * contrib_k with
-    T_k the exclusive product of (1 - alpha) scaled by the incoming
-    transmittance t_in, and contrib_k the reference termination rule
-    "composite iff T_k * (1 - alpha_k) >= 1e-4" (forward.cu:347-357).
-    t_out is the final transmittance after this block (for chunked scans and
-    the background term).
+    Returns (weights, t_all_out, t_fin_delta):
+      * weights[..., k] = alpha_k * T_k * contrib_k with T_k the exclusive
+        product of (1 - alpha) scaled by the incoming transmittance, and
+        contrib_k the reference termination rule "composite iff
+        T_k * (1 - alpha_k) >= 1e-4" (forward.cu:347-357).
+      * t_all_out: the ALL-alpha transmittance carry. This product is
+        monotone, so once a pixel terminates it stays terminated across
+        later chunks — the sticky `done` flag of the reference and the
+        pallas kernel's log_t_all test. (Until the first termination every
+        gaussian is composited, so the all-alpha and composited-only
+        products coincide wherever contrib is true.)
+      * t_fin_delta: this block's product over COMPOSITED gaussians only —
+        multiply into a separate carry for the final T (background term),
+        which the reference freezes at termination.
     """
     one_minus = 1.0 - alpha
     inclusive = jnp.cumprod(one_minus, axis=-1)
-    if t_in is not None:
-        inclusive = inclusive * t_in[..., None]
+    if t_all_in is not None:
+        inclusive = inclusive * t_all_in[..., None]
     exclusive = inclusive / jnp.where(one_minus > 0, one_minus, 1.0)
     contrib = jax.lax.stop_gradient(inclusive) >= T_TERMINATE
     weights = jnp.where(contrib, alpha * exclusive, 0.0)
-    # T evolves only over composited gaussians: prod of (1-alpha*contrib)
+    t_all_out = (t_all_in if t_all_in is not None else 1.0) * \
+        jnp.prod(one_minus, axis=-1)
     t_steps = jnp.where(contrib, one_minus, 1.0)
-    t_out = (t_in if t_in is not None else 1.0) * jnp.prod(t_steps, axis=-1)
-    return weights, t_out
+    t_fin_delta = jnp.prod(t_steps, axis=-1)
+    return weights, t_all_out, t_fin_delta

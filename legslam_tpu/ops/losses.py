@@ -32,10 +32,12 @@ def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 def masked_l1_loss(pred: jnp.ndarray, gt: jnp.ndarray,
                    mask: jnp.ndarray) -> jnp.ndarray:
-    """L1 over masked pixels. The reference multiplies images by the
-    undistortion mask before the plain mean (gaussian_mapper.cpp:711-716),
-    so zeros still count in the denominator — we replicate that."""
-    return jnp.mean(jnp.abs((pred - gt) * mask))
+    """L1 with the RENDERED side masked, against the unmasked GT. The
+    reference multiplies only the rendered image by the undistortion mask
+    before a plain mean (gaussian_mapper.cpp:711-721:
+    l1_loss(masked_image, gt_image)), so masked-out pixels still contribute
+    |0 - gt| and the denominator counts them — we replicate that."""
+    return jnp.mean(jnp.abs(pred * mask - gt))
 
 
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
@@ -112,17 +114,17 @@ def mapping_loss(render_color: jnp.ndarray, gt_color: jnp.ndarray,
 
       (1-λ)*L1(img) + λ*(1-SSIM(img)) + mean_cos(LF) + L1(depth)
 
-    with all terms masked by the undistortion mask (mask multiplies the
-    images before the reductions). The +cos(LF) sign is intentional —
+    The undistortion mask multiplies ONLY the rendered tensors; GT stays
+    unmasked — matching the reference, which compares masked renders to raw
+    GT (gaussian_mapper.cpp:711-721). The +cos(LF) sign is intentional —
     see module docstring.
     """
     m = mask[..., None] if mask.ndim == 2 else mask
     pc = render_color * m
-    gc = gt_color * m
-    loss = (1.0 - lambda_dssim) * l1_loss(pc, gc) + \
-        lambda_dssim * (1.0 - ssim(pc, gc))
+    loss = (1.0 - lambda_dssim) * l1_loss(pc, gt_color) + \
+        lambda_dssim * (1.0 - ssim(pc, gt_color))
     if render_lf is not None and gt_lf is not None:
-        loss = loss + lf_cosine_similarity(render_lf * m, gt_lf * m)
+        loss = loss + lf_cosine_similarity(render_lf * m, gt_lf)
     md = mask if mask.ndim == 2 else mask[..., 0]
-    loss = loss + l1_loss(render_depth * md, gt_depth * md)
+    loss = loss + l1_loss(render_depth * md, gt_depth)
     return loss

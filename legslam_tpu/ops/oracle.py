@@ -71,7 +71,7 @@ def rasterize_oracle(pre: Preprocessed, rgb: jnp.ndarray,
 
     alpha = masked_alpha(power, op[None, None],
                          extra_mask=member & gmask[None, None])
-    weights, t_final = blend_weights(alpha)        # [H, W, P], [H, W]
+    weights, _, t_final = blend_weights(alpha)     # [H, W, P], [H, W]
 
     color = jnp.einsum("hwp,pc->hwc", weights, rgb[order]) \
         + t_final[..., None] * bg[None, None]

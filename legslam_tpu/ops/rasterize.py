@@ -44,6 +44,11 @@ class RasterizeOutput(NamedTuple):
     final_t: jnp.ndarray           # [H, W]
     radii: jnp.ndarray             # [P] int32
     num_rendered: jnp.ndarray      # [] int32 valid pairs
+    # pairs dropped by ANY static cap (span clip, max_pairs truncation,
+    # per-tile/bucket caps). The reference never drops pairs
+    # (rasterizer_impl.cu sizes buffers to num_rendered); nonzero means
+    # far gaussians silently lose coverage + gradient — callers should warn.
+    overflow_pairs: jnp.ndarray    # [] int32
 
 
 def _composite_tiles(binning: Binning, mean2d: jnp.ndarray,
@@ -78,7 +83,7 @@ def _composite_tiles(binning: Binning, mean2d: jnp.ndarray,
 
         @functools.partial(jax.checkpoint, prevent_cse=False)
         def chunk_step(carry, k):
-            t_in, acc = carry
+            t_all, t_fin, acc = carry
             pos = k * chunk + koff[None, :]                    # [B, chunk]
             pvalid = pos < count[:, None]
             idx = jnp.clip(start[:, None] + pos, 0, npair - 1)
@@ -97,18 +102,19 @@ def _composite_tiles(binning: Binning, mean2d: jnp.ndarray,
             alpha = masked_alpha(power, op[:, None, None, :],
                                  extra_mask=pvalid[:, None, None, :])
             alpha = alpha.reshape(B, npix, chunk)
-            w, t_out = blend_weights(alpha, t_in)
+            w, t_all_out, t_fin_delta = blend_weights(alpha, t_all)
             # HIGHEST precision: the blend reduction accumulates many small
             # contributions; default (bf16-input) MXU passes cost ~1e-3
             # relative error, which is visible in PSNR.
             acc = acc + jnp.einsum("bpk,bkc->bpc", w, f,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
-            return (t_out, acc), None
+            return (t_all_out, t_fin * t_fin_delta, acc), None
 
         init = (jnp.ones((B, npix), jnp.float32),
+                jnp.ones((B, npix), jnp.float32),
                 jnp.zeros((B, npix, C), jnp.float32))
-        (t_final, acc), _ = jax.lax.scan(
+        (_, t_final, acc), _ = jax.lax.scan(
             chunk_step, init, jnp.arange(n_chunks, dtype=jnp.int32))
         return acc.reshape(B, TH, TW, C), t_final.reshape(B, TH, TW)
 
@@ -174,8 +180,11 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
         if nb > 1:
             binning = bin_gaussians_bucketed(
                 pre, width, height, cfg, nb, cfg.bucket_cap)
+            overflow = binning.span_overflow + binning.overflow
         else:
             binning = bin_gaussians(pre, width, height, cfg)
+            overflow = binning.span_overflow + jnp.maximum(
+                binning.num_rendered - cfg.max_pairs, 0)
         img, t_final = composite_image_pallas(
             binning, pre.mean2d, pre.conic, opacity, feats, width, height,
             cfg.tile_w, cfg.tile_h, cfg.max_pairs, cfg.chunk,
@@ -184,6 +193,8 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
         img = img[..., :feats.shape[-1]]
     else:
         binning = bin_gaussians(pre, width, height, cfg)
+        overflow = binning.span_overflow + jnp.sum(
+            jnp.maximum(binning.tile_count - max_per_tile, 0))
         img, t_final = _composite_tiles(
             binning, pre.mean2d, pre.conic, opacity, feats,
             width, height, cfg, max_per_tile)
@@ -193,7 +204,8 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
     depth = img[..., -1]
     return RasterizeOutput(color=color, lang_feat=lf, depth=depth,
                            final_t=t_final, radii=pre.radius,
-                           num_rendered=binning.num_rendered)
+                           num_rendered=binning.num_rendered,
+                           overflow_pairs=overflow.astype(jnp.int32))
 
 
 def rasterize(means3d: jnp.ndarray, sh: jnp.ndarray, lang_feat: jnp.ndarray,

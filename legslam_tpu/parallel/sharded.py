@@ -72,10 +72,15 @@ def batched_train_step(state: G.GaussianState, batch: ViewBatch,
     runs fully parallel on the mesh; the mean over views becomes a psum.
     """
     p = state.params
-    offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+    n_views = batch.gt_color.shape[0]
+    # one mean2D-offset PER VIEW: its gradient gives per-view screen-space
+    # grads so densify stats accumulate mean-of-norms (one denom increment
+    # per visit), not norm-of-mean — matching the reference's per-iteration
+    # addDensificationStats semantics (gaussian_model.cpp:834-847)
+    offset0 = jnp.zeros((n_views, state.capacity, 2), jnp.float32)
 
-    def view_loss(params_tuple, one):
-        xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation, off = \
+    def view_loss(params_tuple, one, off):
+        xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation = \
             params_tuple
         sh = jnp.concatenate([f_dc, f_rest], axis=1)
         out = render_arrays(
@@ -89,20 +94,21 @@ def batched_train_step(state: G.GaussianState, batch: ViewBatch,
             out.color, one.gt_color,
             out.lang_feat, one.gt_lang_feat if include_lang_feat else None,
             out.depth, one.gt_depth, one.mask, opt.lambda_dssim)
-        return loss, (out.color, out.depth, out.radii)
+        return loss, (out.color, out.depth, out.radii, out.overflow_pairs)
 
     def total_loss(xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation,
                    off):
         params_tuple = (xyz, f_dc, f_rest, lang_feat, opacity, scaling,
-                        rotation, off)
-        per_view = jax.vmap(lambda one: view_loss(params_tuple, one))(batch)
+                        rotation)
+        per_view = jax.vmap(
+            lambda one, o: view_loss(params_tuple, one, o))(batch, off)
         loss = jnp.mean(per_view[0])
-        color, depth, radii = per_view[1]
-        return loss, (color, depth, radii)
+        color, depth, radii, overflow = per_view[1]
+        return loss, (color, depth, radii, overflow)
 
     grad_fn = jax.value_and_grad(total_loss, argnums=tuple(range(8)),
                                  has_aux=True)
-    (loss, (color, depth, radii)), grads = grad_fn(
+    (loss, (color, depth, radii, overflow)), grads = grad_fn(
         p.xyz, p.f_dc, p.f_rest, p.lang_feat, p.opacity, p.scaling,
         p.rotation, offset0)
     g_params = G.GaussianParams(
@@ -112,12 +118,11 @@ def batched_train_step(state: G.GaussianState, batch: ViewBatch,
         lambda g: jnp.where(
             state.valid[(...,) + (None,) * (g.ndim - 1)], g, 0.0), g_params)
 
-    # max radius over views; stats use the summed screen-grad like the
-    # reference accumulates over iterations
-    radii_max = jnp.max(radii, axis=0)
+    # per-view screen grads: undo the 1/B of the mean-loss so each view's
+    # norm matches what a single-view iteration would accumulate
     ndc_scale = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
-    state = G.add_densification_stats(
-        state, grads[7] * ndc_scale[None, :], radii_max)
+    per_view_grads = grads[7] * float(n_views) * ndc_scale[None, None, :]
+    state = G.add_densification_stats_batched(state, per_view_grads, radii)
 
     lrs = make_lrs(opt, spatial_lr_scale, position_lr_step)
     state = G.adam_update(state, g_params, lrs)
@@ -125,7 +130,8 @@ def batched_train_step(state: G.GaussianState, batch: ViewBatch,
     psnr = losses.psnr(color * batch.mask[..., None],
                        batch.gt_color * batch.mask[..., None])
     return state, StepAux(loss=loss, color=color[0], depth=depth[0],
-                          radii=radii_max, psnr=psnr)
+                          radii=jnp.max(radii, axis=0), psnr=psnr,
+                          overflow_pairs=jnp.sum(overflow))
 
 
 def shard_batch(batch: ViewBatch, mesh: Mesh) -> ViewBatch:

@@ -28,6 +28,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long e2e tests (skip with -m 'not slow' for a quick pass)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
