@@ -32,7 +32,9 @@ def run_scene(scene_dir: str, out_dir: str,
               cfg: Optional[RasterizeConfig] = None,
               kf_stride: int = 8, capacity: int = 1 << 18,
               max_frames: Optional[int] = None,
-              encoder=None, iterations_per_frame: int = 1) -> dict:
+              encoder=None, iterations_per_frame: int = 1,
+              return_mapper: bool = False,
+              lf_loader=None) -> dict:
     """Online mapping over one scene; returns metrics + timing."""
     import jax
 
@@ -51,6 +53,8 @@ def run_scene(scene_dir: str, out_dir: str,
         if encoder is not None:
             lf = np.asarray(
                 encoder.create_language_features(frame.color))
+        elif lf_loader is not None:
+            lf = lf_loader(frame)
         frontend.track(frame, lf_image=lf)
         # the reference trains concurrently; serial equivalent: a fixed
         # number of mapper ticks per frame
@@ -94,6 +98,8 @@ def run_scene(scene_dir: str, out_dir: str,
         depth_l1_cm=float(np.mean(depth_l1)),
         ate_rmse=ate["rmse"], ate_mean=ate["mean"],
         n_gaussians=int(mapper.state.num_valid()), output=base)
+    if return_mapper:
+        result["_mapper"] = mapper
     return result
 
 

@@ -77,14 +77,33 @@ def evaluate_segmentation(mapper, text_embs: np.ndarray,
 def evaluate_scenes(data_root: str, out_root: str, scenes: Sequence[str],
                     text_embs: Optional[np.ndarray] = None,
                     label_loader_factory=None, exp_name: str = "legslam_tpu",
+                    every_nth: int = 10, reject_threshold: float = 0.7,
                     **kwargs) -> list[dict]:
+    """Train+score each scene; when `text_embs` ([num_classes-1, 64]
+    compressed class embeddings) and `label_loader_factory`
+    (scene_name -> (fid -> [H, W] int labels)) are given, the trained
+    map's rendered language features are scored for open-vocab mIoU/mAcc
+    like eval/scannet_test.py:227-396. Each result dict then carries
+    {psnr, ssim, depth_l1_cm, miou, macc, ...}."""
     results = []
+    do_seg = text_embs is not None and label_loader_factory is not None
     for scene in scenes:
         scene_dir = os.path.join(data_root, scene)
         if not os.path.isdir(scene_dir):
             continue
         out_dir = os.path.join(out_root, scene)
-        r = run_scene(scene_dir, out_dir, **kwargs)
+        r = run_scene(scene_dir, out_dir, return_mapper=do_seg, **kwargs)
+        if do_seg:
+            mapper = r.pop("_mapper")
+            seg = evaluate_segmentation(
+                mapper, np.asarray(text_embs),
+                label_loader_factory(scene),
+                frame_ids=sorted(mapper.keyframes),
+                num_classes=len(text_embs) + 1,
+                every_nth=every_nth, reject_threshold=reject_threshold)
+            r["miou"] = seg["miou"]
+            r["macc"] = seg["macc"]
+            r["per_class_iou"] = [float(x) for x in seg["per_class_iou"]]
         results.append(r)
     os.makedirs(out_root, exist_ok=True)
     with open(os.path.join(out_root, f"eval_result_{exp_name}.log"),
@@ -92,4 +111,9 @@ def evaluate_scenes(data_root: str, out_root: str, scenes: Sequence[str],
         for r in results:
             f.write(json.dumps({k: v for k, v in r.items()
                                 if not isinstance(v, np.ndarray)}) + "\n")
+        if results and do_seg:
+            f.write(json.dumps(dict(average=dict(
+                miou=float(np.mean([r["miou"] for r in results])),
+                macc=float(np.mean([r["macc"] for r in results])))))
+                + "\n")
     return results

@@ -42,6 +42,7 @@ from legslam_tpu.ops.rasterize import rasterize
 from legslam_tpu.slam.interface import MappingOperation, OpKind
 from legslam_tpu.utils import ply
 from legslam_tpu.utils.camera import CameraView, focal2fov
+from legslam_tpu.utils.undistort import build_undistortion
 
 
 def nerfpp_norm(cam_centers: np.ndarray) -> tuple[np.ndarray, float]:
@@ -92,6 +93,12 @@ class GaussianMapper:
         self._depth_cache: list[tuple[np.ndarray, np.ndarray]] = []
         self._kfs_since_densify_flush = 0
         self.ema_loss = 0.0
+        # undistortion maps + valid mask from intrinsics dist_coeffs
+        # (camera.h:68-100; None for the pure-pinhole case). Incoming
+        # keyframe RGB/depth are remapped and the mask gates the loss
+        # (gaussian_mapper.cpp:399-432, 711-721); kp_pixels are already
+        # undistorted per the bridge contract (KeyFrame::GetKeypointInfo).
+        self.undistortion = build_undistortion(intrinsics)
         self.timings: list[float] = []
         self.big_points_on = False
         self.loss_sync_interval = 10
@@ -108,11 +115,21 @@ class GaussianMapper:
             kf.set_pose(packet.R, packet.t, self.intr["fx"], self.intr["fy"])
             kf.remaining_times_of_use += mp.local_BA_increased_times_of_use
             return
+        mask_full = None
+        if self.undistortion is not None:
+            import dataclasses as _dc
+            und = self.undistortion
+            packet = _dc.replace(
+                packet, color=und.undistort_image(packet.color),
+                depth=None if packet.depth is None
+                else und.undistort_image(packet.depth))
+            mask_full = und.valid_mask
         kf = build_keyframe(
             packet, self.intr, mp.num_gaus_pyramid_sub_levels
             if mp.do_gaus_pyramid_training else 0,
             mp.gaus_pyramid_times_of_use,
-            mp.new_keyframe_times_of_use, self.iteration)
+            mp.new_keyframe_times_of_use, self.iteration,
+            mask_full=mask_full)
         self.keyframes[packet.fid] = kf
         if mp.do_inactive_geo_densify:
             self._cache_inactive_geometry(kf)

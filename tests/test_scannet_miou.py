@@ -1,0 +1,139 @@
+"""End-to-end open-vocab segmentation mIoU on a synthetic scene.
+
+Trains the online mapper with class-structured language features (two
+world-space classes), then scores rendered LF with the ScanNet rule
+(eval/scannet_test.py:295-310: argmax of (1-cos)/2, reject < 0.7 -> 0)
+through evaluate_segmentation, asserting mIoU far above chance. Also checks
+the evaluate_scenes wiring threads text_embs + label loader into the result.
+
+Sign convention parity: training uses the reference's +mean-cos LF loss
+(anti-aligning rendered LF with the supervision), and the eval rule inverts
+similarity — so supervising with +v trains render toward -v and
+(1 - cos(render, v))/2 ~ 1 for the correct class (SURVEY.md §3.3 note).
+"""
+import numpy as np
+import pytest
+
+from legslam_tpu.config import MapperParams, OptimizationParams, RasterizeConfig
+from legslam_tpu.data.synthetic import SyntheticDataset
+from legslam_tpu.eval_harness import scannet_eval
+from legslam_tpu.mapper.mapper import GaussianMapper
+from legslam_tpu.ops.rasterize import rasterize
+from legslam_tpu.slam.trajectory import TrajectoryFrontend
+from legslam_tpu.utils.camera import CameraView
+from legslam_tpu.utils.sh import rgb_to_sh
+
+CFG = RasterizeConfig(tile_h=16, tile_w=128, max_span_x=3, max_span_y=8,
+                      chunk=64, tile_batch=4)
+
+# two orthogonal unit class vectors in LF space
+V1 = np.zeros(64, np.float32); V1[0] = 1.0
+V2 = np.zeros(64, np.float32); V2[1] = 1.0
+TEXT_EMBS = np.stack([V1, V2])
+
+
+@pytest.fixture(scope="module")
+def seg_scene():
+    """Synthetic dataset whose gaussians carry class LF by world x-sign,
+    plus per-frame GT lf images and labels rendered from that field."""
+    ds = SyntheticDataset(n_frames=16, width=128, height=64,
+                          n_gaussians=1500, seed=5, clutter_ratio=0.0)
+    cls2 = ds._xyz[:, 0] > 0.0
+    ds._lf = np.where(cls2[:, None], V2[None], V1[None]).astype(np.float32)
+    ds._cache.clear()
+
+    intr = ds.intrinsics
+    sh = np.zeros((ds._xyz.shape[0], 16, 3), np.float32)
+    sh[:, 0] = np.asarray(rgb_to_sh(ds._colors))
+    lf_images, labels = {}, {}
+    import jax.numpy as jnp
+    for i in range(len(ds)):
+        c2w = ds._poses[i]
+        w2c = np.linalg.inv(c2w)
+        view = CameraView.create(w2c[:3, :3], w2c[:3, 3], intr["width"],
+                                 intr["height"], fx=intr["fx"],
+                                 fy=intr["fy"])
+        out = rasterize(ds._xyz, sh, ds._lf, ds._opacity, ds._scales,
+                        ds._quats, np.ones(ds._xyz.shape[0], bool), view,
+                        jnp.zeros(3), active_sh_degree=0, cfg=CFG,
+                        include_lang_feat=True, max_per_tile=1024)
+        lf = np.asarray(out.lang_feat)
+        hit = 1.0 - np.asarray(out.final_t) > 0.5
+        # GT labels: which class vector the GT field aligns with
+        cls = np.where(lf @ V1 > lf @ V2, 1, 2)
+        labels[i] = np.where(hit, cls, 0).astype(np.int32)
+        # supervision at the encoder's 37x37 resolution, unit-normalized
+        lfn = lf / np.linalg.norm(lf, axis=-1, keepdims=True).clip(1e-12)
+        import jax.image
+        lf_images[i] = np.asarray(jax.image.resize(
+            lfn, (37, 37, 64), method="linear"), np.float32)
+    return ds, lf_images, labels
+
+
+@pytest.fixture(scope="module")
+def seg_mapper(seg_scene, tmp_path_factory):
+    ds, lf_images, _ = seg_scene
+    frontend = TrajectoryFrontend(ds.intrinsics, kf_stride=4,
+                                  max_corners=400)
+    mapper = GaussianMapper(
+        frontend.queue, ds.intrinsics,
+        opt=OptimizationParams(
+            densify_from_iter=10, densification_interval=40,
+            opacity_reset_interval=0, iterations=400, lang_feature_lr=0.1),
+        mp=MapperParams(min_num_initial_map_kfs=3, depth_cache=3),
+        cfg=CFG, capacity=1 << 14,
+        result_dir=str(tmp_path_factory.mktemp("seg_out")),
+        max_per_tile=512, include_lang_feat=True)
+    for frame in ds:
+        frontend.track(frame, lf_image=lf_images[frame.index])
+    frontend.finish()
+    mapper.run(max_iterations=200, tail_iterations=200)
+    return mapper
+
+
+@pytest.mark.slow
+def test_miou_above_chance(seg_scene, seg_mapper):
+    _, _, labels = seg_scene
+    # reject threshold relaxed vs the reference's 0.7: a few hundred CPU
+    # iterations can't drive cos to -0.4 everywhere the way a full run does
+    scores = scannet_eval.evaluate_segmentation(
+        seg_mapper, TEXT_EMBS, lambda fid: labels[fid],
+        frame_ids=sorted(seg_mapper.keyframes), num_classes=3,
+        every_nth=1, reject_threshold=0.55)
+    # chance for 2 classes + reject is ~0.33 IoU; the trained map should be
+    # far above it on both classes
+    assert scores["miou"] > 0.5, scores
+    assert scores["macc"] > 0.5, scores
+    assert scores["confusion"].sum() > 0
+
+
+def test_evaluate_scenes_threads_segmentation(tmp_path, monkeypatch,
+                                              seg_scene, seg_mapper):
+    """evaluate_scenes must actually produce miou/macc when text embeddings
+    + label loaders are supplied (the reference's headline ScanNet metric,
+    eval/scannet_test.py:227-396)."""
+    _, _, labels = seg_scene
+
+    def fake_run_scene(scene_dir, out_dir, return_mapper=False, **kwargs):
+        r = dict(scene="synthetic", frames=16, fps=1.0, total_time_s=1.0,
+                 psnr=20.0, ssim=0.8, depth_l1_cm=1.0, ate_rmse=0.0,
+                 ate_mean=0.0, n_gaussians=100, output=str(out_dir))
+        if return_mapper:
+            r["_mapper"] = seg_mapper
+        return r
+
+    monkeypatch.setattr(scannet_eval, "run_scene", fake_run_scene)
+    scene_root = tmp_path / "scenes"
+    (scene_root / "scene0000_00").mkdir(parents=True)
+    results = scannet_eval.evaluate_scenes(
+        str(scene_root), str(tmp_path / "out"), ["scene0000_00"],
+        text_embs=TEXT_EMBS,
+        label_loader_factory=lambda scene: (lambda fid: labels[fid]),
+        every_nth=1)
+    assert len(results) == 1
+    r = results[0]
+    assert "_mapper" not in r
+    assert {"psnr", "ssim", "miou", "macc"} <= set(r)
+    assert 0.0 <= r["miou"] <= 1.0
+    log = (tmp_path / "out" / "eval_result_legslam_tpu.log").read_text()
+    assert "miou" in log
