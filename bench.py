@@ -6,6 +6,15 @@ backward, Adam — gaussian_mapper.cpp:624-798) at Replica geometry
 (1200x680, fx=fy=600; cfg/ORB_SLAM3/RGB-D/Replica/office0.yaml:11-30) with a
 Replica-sized gaussian store. Prints one JSON line; vs_baseline is against
 the reference's published 10 FPS Replica online mapping (README.md:14).
+
+Variants (env):
+  BENCH_VARIANT=frame    also run the DINOv2+PCA language encoder per
+                         measured frame (examples/replica_rgbd.cpp:182 —
+                         the reference's FPS includes it); random-init
+                         weights, identical compute to converted ones.
+  BENCH_BINNING_REFRESH  per-view binning cache interval (default 4).
+  BENCH_BACKEND          pallas (default) | xla.
+  BENCH_SMOKE=1          tiny-shape smoke.
 """
 import json
 import os
@@ -28,15 +37,24 @@ def main():
 
     smoke = os.environ.get("BENCH_SMOKE") == "1"
     backend = os.environ.get("BENCH_BACKEND", "pallas")
+    # per-view tile-binning refresh interval (mapper binning_refresh_interval
+    # knob): the sort-dominated prep pipeline is recomputed every N-th
+    # iteration of a view and reused otherwise. 1 = exact per-step binning.
+    refresh = int(os.environ.get("BENCH_BINNING_REFRESH", "4"))
+    variant = os.environ.get("BENCH_VARIANT", "mapping")
     width, height = (320, 192) if smoke else (1200, 680)
     n_points = 20_000 if smoke else 200_000
     capacity = 1 << (15 if smoke else 18)
     iters = 3 if smoke else 20
 
+    # bf16 MXU inputs for the compositing kernels: measured (CPU interpret,
+    # vs exact f32): color max err 4e-3, grad cosine 0.999997, transmittance
+    # exact (hi/lo prefix split) — far below mapping-convergence noise
+    mm_dtype = os.environ.get("BENCH_MM_DTYPE", "bfloat16")
     cfg = RasterizeConfig(
         tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
         chunk=256, tile_batch=16, backend=backend,
-        max_pairs=1 << (16 if smoke else 20))
+        max_pairs=1 << (16 if smoke else 20), mm_dtype=mm_dtype)
     opt = OptimizationParams()
 
     rng = np.random.default_rng(0)
@@ -56,25 +74,81 @@ def main():
     mask = jnp.ones((height, width), jnp.float32)
     bg = jnp.zeros(3)
 
-    def step(s, i):
+    from legslam_tpu.ops.rasterize import compute_binning
+    binning_jit = jax.jit(
+        compute_binning,
+        static_argnames=("width", "height", "cfg", "max_per_tile"))
+
+    def make_binning(s):
+        return binning_jit(
+            s.params.xyz, jnp.exp(s.params.scaling), s.params.rotation,
+            s.valid, view.world_view, view.full_proj, view.tan_fovx,
+            view.tan_fovy, width=width, height=height, cfg=cfg,
+            max_per_tile=2048)
+
+    def step(s, i, binning=None):
         return train_step(
             s, view.world_view, view.full_proj, view.cam_center,
             view.tan_fovx, view.tan_fovy, gt_color, gt_lf, gt_depth, mask,
             bg, jnp.asarray(float(i)), 1.0,
             width=width, height=height, active_sh_degree=3, opt=opt,
-            cfg=cfg, max_per_tile=2048)
+            cfg=cfg, max_per_tile=2048,
+            binning=make_binning(s) if binning == "fresh" else binning)
 
-    # compile + warmup
-    st, aux = step(st, 0)
+    encoder = None
+    if variant == "frame":
+        from legslam_tpu.models import dinov2 as D
+        from legslam_tpu.models import pca as PCA
+        from legslam_tpu.models.encoder import LanguageFeaturesEncoder
+        dcfg = D.DinoV2Config()
+        dparams = D.init_params(dcfg, jax.random.key(0))
+        pparams = PCA.PCAParams(
+            mean=jnp.zeros(768, jnp.float32),
+            components=jnp.asarray(rng.normal(size=(768, 64)), jnp.float32))
+        encoder = LanguageFeaturesEncoder(dparams, pparams, dcfg)
+        frame_rgb = jnp.asarray(rng.uniform(size=(height, width, 3)),
+                                jnp.float32)
+
+    # compile + warmup (both variants when the cache is on)
+    if refresh > 1:
+        st, aux = step(st, 0, binning="fresh")
+        binning = make_binning(st)
+        st, aux = step(st, 0, binning=binning)
+    else:
+        st, aux = step(st, 0)
     jax.block_until_ready(aux.loss)
 
+    # timing groups: each group holds exactly one binning refresh +
+    # (refresh-1) cached steps, so the median group time / refresh is the
+    # honestly amortized per-iteration cost (a plain per-iter median would
+    # hide the refresh; a mean would absorb axon tunnel stalls)
+    if encoder is not None:
+        from legslam_tpu.mapper.train_step import upsample_lf
+        up = jax.jit(upsample_lf, static_argnums=(1, 2))
+        gt_lf = up(encoder.create_language_features(frame_rgb), height,
+                   width)
+        jax.block_until_ready(gt_lf)
+
     times = []
-    for i in range(iters):
+    binning = None
+    for g in range(iters):
         t0 = time.perf_counter()
-        st, aux = step(st, i + 1)
-        float(aux.loss)  # per-step host sync: axon's block_until_ready alone
-        # has been observed not to force the dispatched chain
-        times.append(time.perf_counter() - t0)
+        for k in range(refresh):
+            i = g * refresh + k
+            if encoder is not None:
+                # per-frame encoder forward feeding the mapping step's LF
+                # supervision (the reference's frame loop does exactly this)
+                gt_lf = up(encoder.create_language_features(frame_rgb),
+                           height, width)
+            if refresh > 1:
+                if k == 0:
+                    binning = make_binning(st)
+                st, aux = step(st, i + 1, binning=binning)
+            else:
+                st, aux = step(st, i + 1)
+            float(aux.loss)  # host sync: axon's block_until_ready alone
+            # has been observed not to force the dispatched chain
+        times.append((time.perf_counter() - t0) / refresh)
     # median: the axon tunnel intermittently stalls whole seconds per call
     # (service-side; observed 10x degradation over hours with identical
     # executables) — the median resists those stalls
@@ -82,11 +156,17 @@ def main():
     dt = times[len(times) // 2]
 
     fps = 1.0 / dt
-    scale = f"{width}x{height} render+LF+depth+bwd+adam, {n_points} gaussians"
+    work = "render+LF+depth+bwd+adam"
+    metric = "replica_scale_mapping_iteration_fps"
+    if variant == "frame":
+        work = "dinov2+pca encoder + " + work
+        metric = "replica_scale_frame_fps_with_encoder"
+    scale = f"{width}x{height} {work}, {n_points} gaussians"
     print(json.dumps({
-        "metric": "replica_scale_mapping_iteration_fps",
+        "metric": metric,
         "value": round(fps, 3),
-        "unit": f"iters/s ({scale}, {backend} backend)",
+        "unit": f"iters/s ({scale}, {backend} backend, {mm_dtype} mxu, "
+                f"binning refresh {refresh})",
         "vs_baseline": round(fps / 10.0, 3),
     }))
 

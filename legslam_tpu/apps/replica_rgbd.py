@@ -4,6 +4,8 @@ Usage (mirrors the reference CLI contract, examples/replica_rgbd.cpp:49-61):
 
   python -m legslam_tpu.apps.replica_rgbd \
       --data /path/to/Replica/office0 --out ./output/office0 \
+      [--cfg cfg/gaussian_mapper/RGB-D/Replica/office0.yaml] \
+      [--camera-cfg cfg/camera/RGB-D/Replica/office0.yaml] \
       [--kf-stride 8] [--max-frames N] [--capacity 262144] \
       [--encoder-weights dir] [--no-lf]
 
@@ -24,6 +26,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data", required=True)
     parser.add_argument("--out", default="./output/run")
+    parser.add_argument("--cfg", default=None,
+                        help="gaussian_mapper YAML (cfg/gaussian_mapper/...)")
+    parser.add_argument("--camera-cfg", default=None,
+                        help="camera YAML (cfg/camera/...) overriding the "
+                             "dataset's intrinsics, incl. dist_coeffs")
     parser.add_argument("--kf-stride", type=int, default=8)
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--capacity", type=int, default=1 << 18)
@@ -37,6 +44,11 @@ def main(argv=None):
     parser.add_argument("--tile-batch", type=int, default=32)
     parser.add_argument("--backend", default=None,
                         help="override compositing backend (xla|pallas)")
+    parser.add_argument("--binning-refresh", type=int, default=1,
+                        help="per-view binning cache interval (1 = exact)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of the mapping "
+                             "loop to this dir")
     args = parser.parse_args(argv)
 
     from legslam_tpu.data.datasets import open_dataset
@@ -53,12 +65,22 @@ def main(argv=None):
     backend = args.backend or (
         "pallas" if _jax.default_backend() not in ("cpu",) else "xla")
     cfg = RasterizeConfig(backend=backend, tile_batch=args.tile_batch)
+    opt = mp = None
+    cam_intr = None
+    if args.cfg:
+        from legslam_tpu.config import load_run_config
+        opt, mp, cam_intr = load_run_config(args.cfg, args.camera_cfg)
+    elif args.camera_cfg:
+        from legslam_tpu.config import intrinsics_from_yaml, load_opencv_yaml
+        cam_intr = intrinsics_from_yaml(load_opencv_yaml(args.camera_cfg))
     ds = open_dataset(args.data)
-    frontend = TrajectoryFrontend(ds.intrinsics, kf_stride=args.kf_stride)
-    mapper = GaussianMapper(frontend.queue, ds.intrinsics, cfg=cfg,
+    intr = {**ds.intrinsics, **(cam_intr or {})}
+    frontend = TrajectoryFrontend(intr, kf_stride=args.kf_stride)
+    mapper = GaussianMapper(frontend.queue, intr, opt=opt, mp=mp, cfg=cfg,
                             capacity=args.capacity, result_dir=args.out,
                             seed=args.seed, max_per_tile=args.max_per_tile,
-                            include_lang_feat=not args.no_lf)
+                            include_lang_feat=not args.no_lf,
+                            binning_refresh_interval=args.binning_refresh)
 
     encoder = None
     if args.encoder_weights and not args.no_lf:
@@ -68,22 +90,31 @@ def main(argv=None):
     n = len(ds) if args.max_frames is None else min(len(ds),
                                                     args.max_frames)
     track_times = []
+    if args.profile_dir:
+        from legslam_tpu.utils.runtime import profile_trace
+        import contextlib
+        prof = profile_trace(args.profile_dir)
+    else:
+        import contextlib
+        prof = contextlib.nullcontext()
     t_start = time.perf_counter()
     it = iter(ds.iter_prefetched())
-    for i in range(n):
-        frame = next(it)
-        t0 = time.perf_counter()
-        lf = None
-        if encoder is not None:
-            lf = np.asarray(encoder.create_language_features(frame.color))
-        frontend.track(frame, lf_image=lf)
-        mapper.drain_operations()
-        if mapper.state is None and mapper.has_met_initial_conditions():
-            mapper.initialize_map()
-        if mapper.state is not None:
-            for _ in range(args.iters_per_frame):
-                mapper.train_iteration()
-        track_times.append(time.perf_counter() - t0)
+    with prof:
+        for i in range(n):
+            frame = next(it)
+            t0 = time.perf_counter()
+            lf = None
+            if encoder is not None:
+                lf = np.asarray(
+                    encoder.create_language_features(frame.color))
+            frontend.track(frame, lf_image=lf)
+            mapper.drain_operations()
+            if mapper.state is None and mapper.has_met_initial_conditions():
+                mapper.initialize_map()
+            if mapper.state is not None:
+                for _ in range(args.iters_per_frame):
+                    mapper.train_iteration()
+            track_times.append(time.perf_counter() - t0)
     total = time.perf_counter() - t_start
     frontend.finish()
 
@@ -102,6 +133,9 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "TrackingTime.txt"), "w") as f:
         f.writelines(f"{t}\n" for t in track_times)
+    # GpuPeakUsageMB.txt equivalent (examples/replica_rgbd.cpp:280-294)
+    from legslam_tpu.utils.runtime import save_peak_memory
+    save_peak_memory(os.path.join(args.out, "TpuPeakUsageMB.txt"))
     # TUM-format trajectory (GT-pose frontend: poses are the input poses)
     with open(os.path.join(args.out, "CameraTrajectory_TUM.txt"), "w") as f:
         for fid, kf in sorted(mapper.keyframes.items()):

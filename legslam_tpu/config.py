@@ -87,7 +87,9 @@ class OptimizationParams:
     position_lr_delay_mult: float = 0.01
     position_lr_max_steps: int = 30_000
     feature_lr: float = 0.0025
-    lang_feature_lr: float = 0.0025
+    # the reference never reads this from YAML; it keeps the ctor default
+    # (gaussian_parameters.h:65: language_feature_lr = 0.0015f)
+    lang_feature_lr: float = 0.0015
     opacity_lr: float = 0.05
     scaling_lr: float = 0.001
     rotation_lr: float = 0.001
@@ -129,6 +131,12 @@ class MapperParams:
     max_depth_cached: int = 10
     rgbd_min_depth: float = 1e-10
     rgbd_max_depth: float = 40.0
+    # Monocular.inactive_geo_densify_max_pixel_dist (squared-dist units in
+    # the reference YAML comment; we treat it as pixels)
+    mono_max_pixel_dist: float = 1.0
+    # Stereo.min_disparity / Stereo.num_disparity (SGM window)
+    stereo_min_disparity: int = 8
+    stereo_num_disparity: int = 128
     position_lr_max_steps_slam: int = 24   # per-KF use-count LR clamp
     keep_training_after_shutdown: bool = False
 
@@ -165,6 +173,13 @@ class RasterizeConfig:
     # per-bucket pair capacity (multiple of chunk); only used when
     # n_buckets > 1. Total gathered pairs = n_buckets * bucket_cap.
     bucket_cap: int = 1 << 16
+    # MXU input dtype for the pallas compositing matmuls and the pair
+    # feature store: "float32" (exact; the parity oracle) or "bfloat16"
+    # (native MXU rate, ~4x matmul throughput + half the feature
+    # gather/DMA traffic). Accumulation is always f32; the transmittance
+    # prefix uses a hi/lo bf16 split (two matmuls) to keep near-f32
+    # accuracy, so only blend features/weights see the 2^-8 quantization.
+    mm_dtype: str = "float32"
 
     def span(self) -> int:
         return self.max_span_x * self.max_span_y
@@ -204,3 +219,106 @@ def load_opencv_yaml(path: str) -> dict:
                 continue
             out[key] = _coerce(value)
     return out
+
+
+def optimization_from_yaml(cfg: dict) -> OptimizationParams:
+    """OptimizationParams from a gaussian_mapper YAML dict (read-site
+    parity: src/gaussian_mapper.cpp:313-359 key names). Missing keys keep
+    the dataclass defaults; language_feature_lr intentionally has no YAML
+    key (the reference never reads one)."""
+    m = {
+        "iterations": "Optimization.max_num_iterations",
+        "position_lr_init": "Optimization.position_lr_init",
+        "position_lr_final": "Optimization.position_lr_final",
+        "position_lr_delay_mult": "Optimization.position_lr_delay_mult",
+        "position_lr_max_steps": "Optimization.position_lr_max_steps",
+        "feature_lr": "Optimization.feature_lr",
+        "opacity_lr": "Optimization.opacity_lr",
+        "scaling_lr": "Optimization.scaling_lr",
+        "rotation_lr": "Optimization.rotation_lr",
+        "percent_dense": "Optimization.percent_dense",
+        "lambda_dssim": "Optimization.lambda_dssim",
+        "densification_interval": "Optimization.densification_interval",
+        "opacity_reset_interval": "Optimization.opacity_reset_interval",
+        "prune_big_point_after_iter":
+            "Optimization.prune_big_point_after_iter",
+        "densify_min_opacity": "Optimization.densify_min_opacity",
+        "densify_from_iter": "Optimization.densify_from_iter",
+        "densify_until_iter": "Optimization.densify_until_iter",
+        "densify_grad_threshold": "Optimization.densify_grad_threshold",
+        "sh_degree": "Model.sh_degree",
+    }
+    kw = {f: cfg[k] for f, k in m.items() if k in cfg}
+    return OptimizationParams(**kw)
+
+
+def mapper_params_from_yaml(cfg: dict) -> MapperParams:
+    """MapperParams from a gaussian_mapper YAML dict
+    (src/gaussian_mapper.cpp:241-297 key names; note the reference's key
+    `Mapper.loop_closure_increased_times_of_use_` trailing underscore)."""
+    kw: dict = {}
+    scalar = {
+        "min_num_initial_map_kfs": "Mapper.min_num_initial_map_kfs",
+        "new_keyframe_times_of_use": "Mapper.new_keyframe_times_of_use",
+        "local_BA_increased_times_of_use":
+            "Mapper.local_BA_increased_times_of_use",
+        "loop_closure_increased_times_of_use":
+            "Mapper.loop_closure_increased_times_of_use_",
+        "large_rot_th": "Mapper.large_rotation_threshold",
+        "large_trans_th": "Mapper.large_translation_threshold",
+        "stable_num_iter_existence": "Mapper.stable_num_iter_existence",
+        "depth_cache": "Mapper.depth_cache",
+        "num_gaus_pyramid_sub_levels": "GausPyramid.num_sub_levels",
+        "rgbd_min_depth": "RGBD.min_depth",
+        "rgbd_max_depth": "RGBD.max_depth",
+        "mono_max_pixel_dist":
+            "Monocular.inactive_geo_densify_max_pixel_dist",
+        "stereo_min_disparity": "Stereo.min_disparity",
+        "stereo_num_disparity": "Stereo.num_disparity",
+        "position_lr_max_steps_slam": "Optimization.position_lr_max_steps",
+    }
+    for f, k in scalar.items():
+        if k in cfg:
+            kw[f] = cfg[k]
+    for f, k in (("cull_keyframes", "Mapper.cull_keyframes"),
+                 ("do_inactive_geo_densify", "Mapper.inactive_geo_densify"),
+                 ("do_gaus_pyramid_training", "GausPyramid.do")):
+        if k in cfg:
+            kw[f] = bool(cfg[k])
+    n_sub = kw.get("num_gaus_pyramid_sub_levels",
+                   MapperParams.num_gaus_pyramid_sub_levels)
+    tou = cfg.get("GausPyramid.sub_level_times_of_use")
+    if tou is not None:
+        kw["gaus_pyramid_times_of_use"] = (int(tou),) * int(n_sub)
+    return MapperParams(**kw)
+
+
+def intrinsics_from_yaml(cfg: dict) -> dict:
+    """Intrinsics dict from a camera YAML (Camera1.* key names as in
+    cfg/ORB_SLAM3/RGB-D/*/*.yaml). Includes dist_coeffs when any of
+    k1/k2/p1/p2/k3 is nonzero and depth_scale from RGBD.DepthMapFactor."""
+    intr = dict(
+        fx=float(cfg["Camera1.fx"]), fy=float(cfg["Camera1.fy"]),
+        cx=float(cfg["Camera1.cx"]), cy=float(cfg["Camera1.cy"]),
+        width=int(cfg["Camera.width"]), height=int(cfg["Camera.height"]))
+    dist = tuple(float(cfg.get(f"Camera1.{k}", 0.0))
+                 for k in ("k1", "k2", "p1", "p2", "k3"))
+    if any(dist):
+        intr["dist_coeffs"] = dist
+    if "RGBD.DepthMapFactor" in cfg:
+        intr["depth_scale"] = float(cfg["RGBD.DepthMapFactor"])
+    if "Stereo.b" in cfg:
+        intr["stereo_baseline"] = float(cfg["Stereo.b"])
+    return intr
+
+
+def load_run_config(mapper_yaml: str, camera_yaml: str | None = None
+                    ) -> tuple[OptimizationParams, MapperParams,
+                               dict | None]:
+    """Load (OptimizationParams, MapperParams, intrinsics-or-None) from the
+    cfg tree, the TPU equivalent of GaussianMapper::readConfigFromFile +
+    the ORB-SLAM3 settings read (gaussian_mapper.cpp:223-359, 100-176)."""
+    d = load_opencv_yaml(mapper_yaml)
+    intr = intrinsics_from_yaml(load_opencv_yaml(camera_yaml)) \
+        if camera_yaml else None
+    return optimization_from_yaml(d), mapper_params_from_yaml(d), intr

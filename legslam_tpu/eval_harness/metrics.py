@@ -100,13 +100,23 @@ def confusion_matrix(pred: np.ndarray, gt: np.ndarray,
 
 def miou_from_confusion(conf: np.ndarray,
                         ignore: Sequence[int] = ()) -> dict:
+    """conf[gt, pred]. Predictions falling on ignored (unannotated) GT
+    classes are excluded from the false-positive count, exactly like the
+    reference's `confusion[:, 1:]` column drop (metric_utils.py:107) —
+    the model is not penalized for predicting something on unlabeled
+    pixels."""
     inter = np.diag(conf).astype(np.float64)
-    union = conf.sum(0) + conf.sum(1) - inter
+    conf_labeled = conf.astype(np.float64).copy()
+    for i in ignore:
+        conf_labeled[i, :] = 0.0
+    union = conf_labeled.sum(0) + conf.sum(1) - inter
     seen = conf.sum(1) > 0
     for i in ignore:
         seen[i] = False
     iou = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
     acc = np.where(conf.sum(1) > 0, inter / np.maximum(conf.sum(1), 1), 0.0)
+    for i in ignore:
+        iou[i] = 0.0  # its union is meaningless after the row drop
     return dict(
         miou=float(iou[seen].mean()) if seen.any() else 0.0,
         macc=float(acc[seen].mean()) if seen.any() else 0.0,
@@ -134,9 +144,18 @@ def segment_prediction(lf_image: np.ndarray, text_embs: np.ndarray,
 
 def lpips_alex(img1: np.ndarray, img2: np.ndarray,
                weights_path: Optional[str] = None) -> float:
-    """LPIPS(alex). Requires the `lpips` package or exported weights —
-    both unavailable in this offline image, so this raises with guidance
-    (eval/replica_test.py uses lpips.LPIPS(net='alex'))."""
+    """LPIPS(alex) like eval/replica_test.py:131-158.
+
+    Preferred path: pass `weights_path` = an lpips_alex.npz produced by
+    tools/convert_weights.py --lpips-alex (pure-JAX AlexNet-LPIPS,
+    models/lpips.py). Fallback: the `lpips` torch package when importable.
+    Raises with guidance when neither is available (offline image ships no
+    pretrained weights)."""
+    if weights_path:
+        from legslam_tpu.models import lpips as L
+        params = L.load_params(weights_path)
+        return float(L.lpips(params, img1.astype(np.float32),
+                             img2.astype(np.float32)))
     try:
         import lpips  # type: ignore
         import torch
@@ -146,6 +165,6 @@ def lpips_alex(img1: np.ndarray, img2: np.ndarray,
         return float(net(a, b).item())
     except ImportError as e:
         raise RuntimeError(
-            "LPIPS needs the `lpips` package + AlexNet weights (not "
-            "available offline). Install lpips or pass precomputed values."
+            "LPIPS needs converted weights (tools/convert_weights.py "
+            "--lpips-alex -> pass weights_path) or the `lpips` package."
         ) from e

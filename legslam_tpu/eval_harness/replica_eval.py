@@ -34,7 +34,8 @@ def run_scene(scene_dir: str, out_dir: str,
               max_frames: Optional[int] = None,
               encoder=None, iterations_per_frame: int = 1,
               return_mapper: bool = False,
-              lf_loader=None) -> dict:
+              lf_loader=None,
+              lpips_weights: Optional[str] = None) -> dict:
     """Online mapping over one scene; returns metrics + timing."""
     import jax
 
@@ -76,7 +77,11 @@ def run_scene(scene_dir: str, out_dir: str,
         mapper.train_iteration()
 
     # per-keyframe photometric metrics
-    psnrs, ssims, depth_l1 = [], [], []
+    lpips_params = None
+    if lpips_weights:
+        from legslam_tpu.models import lpips as L
+        lpips_params = L.load_params(lpips_weights)
+    psnrs, ssims, depth_l1, lpipses = [], [], [], []
     for fid, kf in sorted(mapper.keyframes.items()):
         out = mapper.render_from_pose(kf.R, kf.t, kf.views[-1].width,
                                       kf.views[-1].height)
@@ -86,6 +91,9 @@ def run_scene(scene_dir: str, out_dir: str,
         ssims.append(float(losses.ssim(pred, gt)))
         depth_l1.append(metrics.depth_l1_cm(
             np.asarray(out.depth), np.asarray(kf.gt_depth[-1])))
+        if lpips_params is not None:
+            from legslam_tpu.models import lpips as L
+            lpipses.append(float(L.lpips(lpips_params, pred, gt)))
 
     ate = metrics.ate_rmse(np.asarray(est_centers), np.asarray(gt_centers)) \
         if len(est_centers) >= 3 else dict(rmse=0.0, mean=0.0)
@@ -98,6 +106,8 @@ def run_scene(scene_dir: str, out_dir: str,
         depth_l1_cm=float(np.mean(depth_l1)),
         ate_rmse=ate["rmse"], ate_mean=ate["mean"],
         n_gaussians=int(mapper.state.num_valid()), output=base)
+    if lpipses:
+        result["lpips"] = float(np.mean(lpipses))
     if return_mapper:
         result["_mapper"] = mapper
     return result

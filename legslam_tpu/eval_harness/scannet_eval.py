@@ -40,14 +40,22 @@ def evaluate_segmentation(mapper, text_embs: np.ndarray,
                           gt_label_loader, frame_ids: Sequence[int],
                           num_classes: int,
                           every_nth: int = 10,
-                          reject_threshold: float = 0.7) -> dict:
+                          reject_threshold: float = 0.7,
+                          min_alpha: float = 0.0) -> dict:
     """Score open-vocab segmentation over keyframes.
 
     gt_label_loader: callable fid -> [H, W] int labels (0 = unannotated).
     text_embs: [num_classes-1, 64] compressed class embeddings (class ids
     are 1-based; 0 is the reject class).
+    min_alpha: when > 0, GT pixels where the map renders accumulated alpha
+    below this are marked unannotated (0) and excluded, scoring only pixels
+    the map geometrically covers. Default 0 matches the reference's
+    all-labeled-pixels rule (eval/scannet_test.py:295-310); the gate exists
+    for short synthetic runs where geometry coverage is still partial.
+    Returns `covered_frac` = kept fraction of originally-labeled pixels.
     """
     conf = np.zeros((num_classes, num_classes), np.int64)
+    labeled = covered = 0
     for k, fid in enumerate(sorted(frame_ids)):
         if k % every_nth:
             continue
@@ -68,9 +76,15 @@ def evaluate_segmentation(mapper, text_embs: np.ndarray,
                                 interpolation=cv2.INTER_NEAREST)
             except ImportError:  # pragma: no cover
                 continue
+        labeled += int((gt > 0).sum())
+        if min_alpha > 0.0:
+            alpha = 1.0 - np.asarray(out.final_t)
+            gt = np.where(alpha >= min_alpha, gt, 0)
+        covered += int((gt > 0).sum())
         conf += metrics.confusion_matrix(pred, gt, num_classes)
     scores = metrics.miou_from_confusion(conf, ignore=(0,))
     scores["confusion"] = conf
+    scores["covered_frac"] = covered / max(labeled, 1)
     return scores
 
 

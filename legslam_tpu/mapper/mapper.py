@@ -38,11 +38,16 @@ from legslam_tpu.mapper.keyframe import MapKeyframe, build_keyframe
 from legslam_tpu.mapper.train_step import train_step, upsample_lf
 from legslam_tpu.models import gaussians as G
 from legslam_tpu.ops import losses
-from legslam_tpu.ops.rasterize import rasterize
+from legslam_tpu.ops.rasterize import compute_binning, rasterize
 from legslam_tpu.slam.interface import MappingOperation, OpKind
 from legslam_tpu.utils import ply
 from legslam_tpu.utils.camera import CameraView, focal2fov
 from legslam_tpu.utils.undistort import build_undistortion
+
+
+_binning_jit = jax.jit(
+    compute_binning,
+    static_argnames=("width", "height", "cfg", "max_per_tile"))
 
 
 def nerfpp_norm(cam_centers: np.ndarray) -> tuple[np.ndarray, float]:
@@ -68,7 +73,10 @@ class GaussianMapper:
                  result_dir: str = "./output",
                  max_per_tile: int = 2048,
                  seed: int = 0,
-                 include_lang_feat: bool = True):
+                 include_lang_feat: bool = True,
+                 binning_refresh_interval: int = 1,
+                 binning_cache_entries: int = 16,
+                 sensor_type: str = "rgbd"):
         self.source = source
         self.intr = intrinsics
         self.opt = opt or OptimizationParams()
@@ -78,6 +86,9 @@ class GaussianMapper:
         self.result_dir = result_dir
         self.max_per_tile = max_per_tile
         self.include_lang_feat = include_lang_feat
+        if sensor_type not in ("rgbd", "monocular", "stereo"):
+            raise ValueError(f"unsupported sensor type {sensor_type!r}")
+        self.sensor_type = sensor_type
 
         self.state: Optional[G.GaussianState] = None
         self.keyframes: dict[int, MapKeyframe] = {}
@@ -103,6 +114,16 @@ class GaussianMapper:
         self.big_points_on = False
         self.loss_sync_interval = 10
         self._last_aux = None
+        # per-(kf, level) tile-binning cache: the sort-dominated half of the
+        # prep pipeline depends only on geometry, which drifts slowly
+        # between consecutive uses of the same keyframe. interval=1 (the
+        # default) recomputes every step — exact reference semantics; >1
+        # reuses an entry for that many uses and is invalidated outright on
+        # any store surgery (densify/prune/increase/reset/loop-closure) or
+        # pose update. Bounded LRU so HBM stays O(entries * max_pairs).
+        self.binning_refresh_interval = binning_refresh_interval
+        self.binning_cache_entries = binning_cache_entries
+        self._binning_cache: dict = {}
 
     # ------------------------------------------------------------------
     # Bridge ingestion (combineMappingOperations, gaussian_mapper.cpp:829)
@@ -132,15 +153,37 @@ class GaussianMapper:
             mask_full=mask_full)
         self.keyframes[packet.fid] = kf
         if mp.do_inactive_geo_densify:
-            self._cache_inactive_geometry(kf)
+            self._cache_inactive_geometry(kf, packet)
 
-    def _cache_inactive_geometry(self, kf: MapKeyframe) -> None:
-        """RGBD inactive-geometry densification: keypoints without map
-        points get their depth from the sensor and are cached; every
-        `depth_cache` keyframes the batch goes into the model
-        (gaussian_mapper.cpp:1253-1492, depth filters from cfg)."""
-        if kf.kp_pixels is None or kf.gt_depth is None:
+    def _cache_inactive_geometry(self, kf: MapKeyframe, packet=None) -> None:
+        """Sensor-specific inactive-geometry densification
+        (increasePcdByKeyframeInactiveGeoDensify,
+        gaussian_mapper.cpp:1253-1492): keypoints without map points get
+        their depth from the sensor — RGBD reads the depth image, MONOCULAR
+        borrows the nearest keypoint's depth within max_pixel_dist
+        (stereo_vision.cu:63-139), STEREO runs SGM on the rectified pair
+        (gaussian_mapper.cpp:1302-1405) — and are cached; every
+        `depth_cache` keyframes the batch goes into the model."""
+        if kf.kp_pixels is None:
             return
+        if self.sensor_type == "monocular":
+            world, cols = self._mono_inactive_geometry(kf)
+        elif self.sensor_type == "stereo":
+            world, cols = self._stereo_inactive_geometry(kf, packet)
+        else:
+            world, cols = self._rgbd_inactive_geometry(kf)
+        kf.done_inactive_geo_densify = True
+        if world is None or not len(world):
+            return
+        self._depth_cache.append((world.astype(np.float32),
+                                  cols.astype(np.float32)))
+        self._kfs_since_densify_flush += 1
+        if self._kfs_since_densify_flush >= self.mp.depth_cache:
+            self._flush_depth_cache()
+
+    def _rgbd_inactive_geometry(self, kf: MapKeyframe):
+        if kf.gt_depth is None:
+            return None, None
         depth = np.asarray(kf.gt_depth[-1])
         color = np.asarray(kf.gt_color[-1])
         h, w = depth.shape
@@ -153,8 +196,7 @@ class GaussianMapper:
         ok = (~has_mp) & (d > self.mp.rgbd_min_depth) & \
             (d < self.mp.rgbd_max_depth)
         if not ok.any():
-            kf.done_inactive_geo_densify = True
-            return
+            return None, None
         fx, fy = self.intr["fx"], self.intr["fy"]
         cx, cy = self.intr["cx"], self.intr["cy"]
         # scale intrinsics to stored full-res level
@@ -165,12 +207,52 @@ class GaussianMapper:
                         d[ok]], -1)
         world = (cam - kf.t) @ kf.R
         cols = color[yi[ok], xi[ok]]
-        self._depth_cache.append((world.astype(np.float32),
-                                  cols.astype(np.float32)))
-        kf.done_inactive_geo_densify = True
-        self._kfs_since_densify_flush += 1
-        if self._kfs_since_densify_flush >= self.mp.depth_cache:
-            self._flush_depth_cache()
+        return world, cols
+
+    def _mono_inactive_geometry(self, kf: MapKeyframe):
+        """Monocular depth-borrow branch (gaussian_mapper.cpp:1262-1300)."""
+        from legslam_tpu.ops.stereo import mono_borrow_depth
+        if kf.kp_points_local is None:
+            return None, None
+        kp = jnp.asarray(kf.kp_pixels)
+        local = np.asarray(kf.kp_points_local)
+        has3d = local[:, 2] > 0
+        if not has3d.any() or has3d.all():
+            return None, None
+        pts, ok = mono_borrow_depth(
+            kp, jnp.asarray(local[:, 2]), jnp.asarray(has3d),
+            self.mp.mono_max_pixel_dist, self.intr["fx"], self.intr["fy"],
+            self.intr["cx"], self.intr["cy"])
+        pts = np.asarray(pts)
+        ok = np.asarray(ok)
+        if not ok.any():
+            return None, None
+        world = (pts[ok] - kf.t) @ kf.R
+        color = np.asarray(kf.gt_color[-1])
+        h, w = color.shape[:2]
+        xi = np.clip(kf.kp_pixels[ok, 0].astype(int), 0, w - 1)
+        yi = np.clip(kf.kp_pixels[ok, 1].astype(int), 0, h - 1)
+        return world, color[yi, xi]
+
+    def _stereo_inactive_geometry(self, kf: MapKeyframe, packet):
+        """Stereo SGM branch (gaussian_mapper.cpp:1302-1405)."""
+        if packet is None or getattr(packet, "color_right", None) is None:
+            return None, None
+        from legslam_tpu.ops.stereo import stereo_inactive_geo_densify
+        baseline = self.intr.get("stereo_baseline", 0.0)
+        if baseline <= 0:
+            return None, None
+        pts, cols, ok = stereo_inactive_geo_densify(
+            jnp.asarray(packet.color), jnp.asarray(packet.color_right),
+            jnp.asarray(kf.kp_pixels), self.intr["fx"], self.intr["fy"],
+            self.intr["cx"], self.intr["cy"], baseline,
+            num_disp=self.mp.stereo_num_disparity,
+            min_disp=self.mp.stereo_min_disparity)
+        pts, cols, ok = np.asarray(pts), np.asarray(cols), np.asarray(ok)
+        if not ok.any():
+            return None, None
+        world = (pts[ok] - kf.t) @ kf.R
+        return world, cols[ok]
 
     def _flush_depth_cache(self) -> None:
         if not self._depth_cache or self.state is None:
@@ -183,6 +265,7 @@ class GaussianMapper:
         if pts.shape[0] >= self.mp.min_num_inactive_geo_densify:
             self.state = G.increase_pcd(self.state, pts, cols,
                                         self.iteration)
+            self._invalidate_binning()
 
     def handle_operation(self, op: MappingOperation) -> None:
         if op.kind == OpKind.LOCAL_BA:
@@ -194,6 +277,7 @@ class GaussianMapper:
                     self.state = G.increase_pcd(
                         self.state, op.points_xyz, op.points_color,
                         self.iteration)
+                    self._invalidate_binning()
                 else:
                     self._pending_points.append(
                         (op.points_xyz, op.points_color))
@@ -236,6 +320,7 @@ class GaussianMapper:
                          self.intr["fy"])
             old.remaining_times_of_use += \
                 self.mp.loop_closure_increased_times_of_use
+        self._invalidate_binning()
 
     def _handle_scale_refinement(self, op: MappingOperation) -> None:
         """applyScaledTransformation over the whole map with the op's full
@@ -260,6 +345,7 @@ class GaussianMapper:
             self.state = G.apply_scaled_transformation(
                 self.state, op.scale, jnp.asarray(diff_R),
                 jnp.asarray(diff_t))
+        self._invalidate_binning()
         for packet in op.keyframes:
             self._ingest_keyframe(packet)
 
@@ -331,6 +417,32 @@ class GaussianMapper:
         kf.record["used"] = kf.record.get("used", 0) + 1
         return kf
 
+    def _invalidate_binning(self) -> None:
+        self._binning_cache.clear()
+
+    def _get_binning(self, kf: MapKeyframe, lvl: int, view) -> Optional[tuple]:
+        """Cached (binning, overflow) for (kf, level), refreshed every
+        `binning_refresh_interval` uses; None when caching is off."""
+        if self.binning_refresh_interval <= 1:
+            return None
+        key = (kf.fid, lvl)
+        entry = self._binning_cache.pop(key, None)
+        if entry is not None and entry[0] > 0:
+            uses_left, binning = entry
+            self._binning_cache[key] = (uses_left - 1, binning)
+            return binning
+        st = self.state
+        binning = _binning_jit(
+            st.params.xyz, jnp.exp(st.params.scaling), st.params.rotation,
+            st.valid, view.world_view, view.full_proj, view.tan_fovx,
+            view.tan_fovy, width=view.width, height=view.height,
+            cfg=self.cfg, max_per_tile=self.max_per_tile)
+        self._binning_cache[key] = (self.binning_refresh_interval - 1,
+                                    binning)
+        while len(self._binning_cache) > self.binning_cache_entries:
+            self._binning_cache.pop(next(iter(self._binning_cache)))
+        return binning
+
     def train_iteration(self) -> Optional[float]:
         """One trainForOneIteration (gaussian_mapper.cpp:624-798)."""
         if self.state is None:
@@ -360,6 +472,7 @@ class GaussianMapper:
         lr_step = min(kf.record.get("used", 1),
                       self.mp.position_lr_max_steps_slam)
 
+        binning = self._get_binning(kf, lvl, view)
         t0 = time.perf_counter()
         self.state, aux = train_step(
             self.state, view.world_view, view.full_proj, view.cam_center,
@@ -368,7 +481,8 @@ class GaussianMapper:
             float(self.cameras_extent),
             width=view.width, height=view.height,
             active_sh_degree=self.active_sh_degree, opt=opt, cfg=self.cfg,
-            include_lang_feat=include_lf, max_per_tile=self.max_per_tile)
+            include_lang_feat=include_lf, max_per_tile=self.max_per_tile,
+            binning=binning)
         # avoid a host sync every iteration (the device dispatch pipeline
         # hides transfer latency); fetch the loss only periodically
         self._last_aux = aux
@@ -403,9 +517,11 @@ class GaussianMapper:
                     opt.densify_min_opacity, self.cameras_extent,
                     opt.max_screen_size if self.big_points_on else None,
                     opt.percent_dense)
+                self._invalidate_binning()
             if opt.opacity_reset_interval > 0 and \
                     self.iteration % opt.opacity_reset_interval == 0:
                 self.state = G.reset_opacity(self.state)
+                self._invalidate_binning()
         return loss
 
     def run(self, max_iterations: Optional[int] = None,

@@ -67,8 +67,14 @@ def train_step(state: G.GaussianState,
                bg: jnp.ndarray, position_lr_step, spatial_lr_scale,
                *, width: int, height: int, active_sh_degree: int,
                opt: OptimizationParams, cfg: RasterizeConfig,
-               include_lang_feat: bool = True, max_per_tile: int = 2048):
-    """One optimization iteration. Returns (new_state, StepAux)."""
+               include_lang_feat: bool = True, max_per_tile: int = 2048,
+               binning=None):
+    """One optimization iteration. Returns (new_state, StepAux).
+
+    `binning` (optional): a cached (Binning, overflow) pair from
+    ops.rasterize.compute_binning — skips the sort-dominated prep pipeline
+    for views whose geometry hasn't moved materially since the cache was
+    built (mapper binning_refresh_interval)."""
     from legslam_tpu.ops.rasterize import render_arrays
 
     p = state.params
@@ -82,7 +88,8 @@ def train_step(state: G.GaussianState,
             jnp.exp(scaling), rotation, state.valid, world_view, full_proj,
             cam_center, tan_fovx, tan_fovy, width, height, bg,
             active_sh_degree, cfg, include_lang_feat=include_lang_feat,
-            mean2d_offset=mean2d_offset, max_per_tile=max_per_tile)
+            mean2d_offset=mean2d_offset, max_per_tile=max_per_tile,
+            binning=binning)
         loss = losses.mapping_loss(
             out.color, gt_color, out.lang_feat, gt_lang_feat, out.depth,
             gt_depth, mask, opt.lambda_dssim)

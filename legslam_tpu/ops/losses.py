@@ -72,35 +72,53 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable 11x11 blur with zero padding, per channel ([H, W, C])."""
-    half = win.shape[0] // 2
-    # conv along H then W via depthwise 1D convolutions
-    x = jnp.moveaxis(img, -1, 0)[:, None]  # [C, 1, H, W]
-    kh = win[None, None, :, None]
-    kw = win[None, None, None, :]
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1),
-                                     [(half, half), (0, 0)], dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1),
-                                     [(0, 0), (half, half)], dimension_numbers=dn)
-    return jnp.moveaxis(x[:, 0], 0, -1)
+@functools.lru_cache(maxsize=16)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """[n, n] banded blur operator: (M @ x)[i] = sum_k win[k] x[i+k-half],
+    rows truncated at the borders (== zero padding)."""
+    win = _gaussian_window(window_size, sigma)
+    half = window_size // 2
+    m = np.zeros((n, n), np.float32)
+    for k in range(window_size):
+        d = k - half
+        idx = np.arange(max(0, -d), min(n, n - d))
+        m[idx, idx + d] = win[k]
+    return m
+
+
+def _blur(img: jnp.ndarray, window_size: int = SSIM_WINDOW,
+          sigma: float = SSIM_SIGMA) -> jnp.ndarray:
+    """Separable 11x11 blur with zero padding, per channel ([H, W, C]).
+
+    TPU-first formulation: 1-D convolutions over a C=3-channel image map
+    terribly onto the MXU (the channel axis lands in the 128-wide lane
+    dimension), so each pass is instead a dense banded matmul over the
+    blurred axis — [H,H] @ [H, W*C] then [W,W] @ [W, H*C] — which XLA tiles
+    at full MXU utilization (~GMAC-scale, sub-ms; the conv form measured
+    tens of ms per train step on v5e). Numerically identical to the
+    zero-padded conv up to f32 summation order."""
+    h, w, c = img.shape
+    mh = jnp.asarray(_band_matrix(h, window_size, sigma))
+    mw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    x = jnp.dot(mh, img.reshape(h, w * c),
+                precision=jax.lax.Precision.HIGHEST).reshape(h, w, c)
+    y = jnp.dot(mw, x.transpose(1, 0, 2).reshape(w, h * c),
+                precision=jax.lax.Precision.HIGHEST).reshape(w, h, c)
+    return y.transpose(1, 0, 2)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
          window_size: int = SSIM_WINDOW, sigma: float = SSIM_SIGMA
          ) -> jnp.ndarray:
     """Mean SSIM map, matching loss_utils.h:76-116 (zero-padded conv)."""
-    win = jnp.asarray(_gaussian_window(window_size, sigma))
-    mu1 = _blur(img1, win)
-    mu2 = _blur(img2, win)
+    mu1 = _blur(img1, window_size, sigma)
+    mu2 = _blur(img2, window_size, sigma)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, win) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, win) - mu2_sq
-    sigma12 = _blur(img1 * img2, win) - mu1_mu2
+    sigma1_sq = _blur(img1 * img1, window_size, sigma) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window_size, sigma) - mu2_sq
+    sigma12 = _blur(img1 * img2, window_size, sigma) - mu1_mu2
     ssim_map = ((2 * mu1_mu2 + SSIM_C1) * (2 * sigma12 + SSIM_C2)) / \
                ((mu1_sq + mu2_sq + SSIM_C1) * (sigma1_sq + sigma2_sq + SSIM_C2))
     return jnp.mean(ssim_map)

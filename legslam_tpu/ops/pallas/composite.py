@@ -41,10 +41,35 @@ GEO_ROWS = 8  # padded to the f32 sublane tile
 LOG_TERM = float(np.log(T_TERMINATE))
 
 
+def _mm(x, y, mm_dtype):
+    """[m,k] @ [k,n] with f32 accumulation; bf16 inputs when requested
+    (native MXU rate — f32 operands cost ~4x on v5e)."""
+    dt = jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32
+    return jax.lax.dot_general(x.astype(dt), y.astype(dt),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _tri_prefix(log1m, u, mm_dtype):
+    """log1m @ triangular-ones. The prefix feeds exp(), so input
+    quantization error compounds into the transmittance; under bf16 we
+    split the operand hi/lo into two bf16 matmuls (error ~2^-16, f32-like)
+    instead of one (2^-8). u must already carry the matmul dtype."""
+    if mm_dtype == "bfloat16":
+        hi = log1m.astype(jnp.bfloat16)
+        lo = (log1m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(hi, u, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return acc + jax.lax.dot_general(lo, u, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(log1m, u, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
                     out_ref, tfin_ref, *, chunk: int, tile_w: int,
                     tile_h: int, ntx: int, c_out: int, pairs_pad: int,
-                    n_buckets: int):
+                    n_buckets: int, mm_dtype: str = "float32"):
     t = pl.program_id(0)
     npix = tile_h * tile_w
 
@@ -122,19 +147,13 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
 
                 log1m = jnp.log1p(-alpha)
                 # exclusive prefix along chunk axis via triangular matmul
-                prefix = jax.lax.dot_general(
-                    log1m, uexcl[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                prefix = _tri_prefix(log1m, uexcl[:], mm_dtype)
                 log_t_exc = log_t_all + prefix
                 log_t_inc = log_t_exc + log1m
                 contrib = log_t_inc >= LOG_TERM
                 w = jnp.where(contrib, alpha * jnp.exp(log_t_exc), 0.0)
 
-                acc = acc + jax.lax.dot_general(
-                    w, feat_buf[slot],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                acc = acc + _mm(w, feat_buf[slot], mm_dtype)
                 log_t_all = log_t_all + jnp.sum(log1m, axis=1,
                                                 keepdims=True)
                 log_t_fin = log_t_fin + jnp.sum(
@@ -172,7 +191,7 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     pl.run_scoped(
         body,
         geo_buf=pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
-        feat_buf=pltpu.VMEM((2, chunk, c_out), jnp.float32),
+        feat_buf=pltpu.VMEM((2, chunk, c_out), feats_hbm.dtype),
         geo_sem=pltpu.SemaphoreType.DMA((2,)),
         feat_sem=pltpu.SemaphoreType.DMA((2,)),
     )
@@ -202,8 +221,11 @@ def _chunked_take_fwd(src, idx):
 
 def _chunked_take_bwd(res, g):
     idx, src = res
-    dsrc = jnp.zeros_like(src).at[idx].add(
-        g.astype(src.dtype), mode="drop")
+    # always accumulate the scatter-add in f32: a bf16 store would otherwise
+    # round per-collision (a gaussian has up to span() pair contributions)
+    acc = jnp.float32 if src.dtype == jnp.bfloat16 else src.dtype
+    dsrc = jnp.zeros(src.shape, acc).at[idx].add(
+        g.astype(acc), mode="drop").astype(src.dtype)
     return dsrc, np.zeros(idx.shape, jax.dtypes.float0)
 
 
@@ -253,12 +275,13 @@ def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
-                     "interpret", "n_buckets"))
+                     "interpret", "n_buckets", "mm_dtype"))
 def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
                            pair_geo: jnp.ndarray, pair_feats: jnp.ndarray,
                            *, tile_w: int, tile_h: int, ntx: int,
                            ntiles: int, chunk: int = 256,
-                           interpret: bool = False, n_buckets: int = 1):
+                           interpret: bool = False, n_buckets: int = 1,
+                           mm_dtype: str = "float32"):
     """Run the forward compositing kernel.
 
     Args:
@@ -275,11 +298,13 @@ def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
     c_out = pair_feats.shape[1]
     npix = tile_h * tile_w
     # strictly-upper-triangular ones: prefix[j] = sum_{k<j} x[k]
-    uexcl = jnp.triu(jnp.ones((chunk, chunk), jnp.float32), k=1)
+    udt = jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32
+    uexcl = jnp.triu(jnp.ones((chunk, chunk), udt), k=1)
 
     kernel = functools.partial(
         _forward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
-        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets)
+        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets,
+        mm_dtype=mm_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -315,7 +340,8 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
                            max_pairs: int, chunk: int = 256,
                            interpret: bool = False,
                            differentiable: bool = False,
-                           n_buckets: int = 1):
+                           n_buckets: int = 1,
+                           mm_dtype: str = "float32"):
     """Full-image forward compositing via the Pallas kernel.
 
     Accepts either a flat Binning (n_buckets=1) or a BucketedBinning (pass
@@ -328,19 +354,23 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
     nty = -(-height // tile_h)
     ntiles = ntx * nty
     c = feats.shape[1]
+    if mm_dtype == "bfloat16":
+        # store/gather/DMA pair features at half traffic; the VJP of this
+        # cast returns the (f32-accumulated) scatter-add grads to f32
+        feats = feats.astype(jnp.bfloat16)
     start, count, geo, pf = prepare_pairs(
         binning, mean2d, conic, opacity, feats, max_pairs, chunk,
         n_buckets=n_buckets)
     if differentiable:
         from legslam_tpu.ops.pallas.composite_bwd import make_composite_vjp
         fn = make_composite_vjp(tile_w, tile_h, ntx, ntiles, chunk,
-                                interpret, n_buckets)
+                                interpret, n_buckets, mm_dtype)
         acc, tfin = fn(start, count, geo, pf)
     else:
         acc, tfin = composite_tiles_pallas(
             start, count, geo, pf, tile_w=tile_w, tile_h=tile_h, ntx=ntx,
             ntiles=ntiles, chunk=chunk, interpret=interpret,
-            n_buckets=n_buckets)
+            n_buckets=n_buckets, mm_dtype=mm_dtype)
     c_out = acc.shape[-1]
     img = acc.reshape(nty, ntx, tile_h, tile_w, c_out)
     img = img.transpose(0, 2, 1, 3, 4).reshape(

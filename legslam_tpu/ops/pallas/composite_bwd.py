@@ -39,6 +39,8 @@ from legslam_tpu.ops.pallas.composite import (
     GEO_ROWS,
     GEO_X,
     GEO_Y,
+    _mm,
+    _tri_prefix,
     composite_tiles_pallas,
 )
 
@@ -72,7 +74,7 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                      gout_ref, gtfin_ref, tfin_ref, acc_ref, uexcl, uincl,
                      dgeo_hbm, dfeats_hbm, *, chunk: int, tile_w: int,
                      tile_h: int, ntx: int, c_out: int, pairs_pad: int,
-                     n_buckets: int):
+                     n_buckets: int, mm_dtype: str = "float32"):
     t = pl.program_id(0)
     npix = tile_h * tile_w
 
@@ -138,21 +140,23 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             a = _alpha_terms(geo_buf, px, py, start, count, off, chunk)
             alpha = a["alpha"]
             log1m = jnp.log1p(-alpha)
-            prefix = jax.lax.dot_general(
-                log1m, uexcl[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            prefix = _tri_prefix(log1m, uexcl[:], mm_dtype)
             log_t_exc = log_t_all + prefix
             contrib = (log_t_exc + log1m) >= LOG_TERM
             t_exc = jnp.exp(log_t_exc)
             w = jnp.where(contrib, alpha * t_exc, 0.0)
+            # gout @ feats^T: transpose feats via dims (contract on axis 1
+            # of both) — keep via _mm by passing feat_buf already [chunk, C]
             dw = jax.lax.dot_general(
-                gout, feat_buf[:], (((1,), (1,)), ((), ())),
+                gout.astype(feat_buf.dtype) if mm_dtype == "bfloat16"
+                else gout, feat_buf[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
+            # hi/lo split here too: s_k = stot - incl is a cancelling
+            # difference, so absolute error in incl becomes gradient noise
+            # on near-terminated pairs
             q = dw * w
-            incl = s_prefix + jax.lax.dot_general(
-                q, uincl[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            incl = s_prefix + _tri_prefix(q, uincl[:], mm_dtype)
             s_k = stot - incl                           # suffix sum, [npix, chunk]
 
             one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
@@ -182,8 +186,9 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                 jnp.sum(dc, 0, keepdims=True),
                 jnp.sum(d_opacity, 0, keepdims=True),
                 zeros, zeros], axis=0)                   # [8, chunk]
+            dt = jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32
             dfeat_local = jax.lax.dot_general(
-                w, gout, (((0,), (0,)), ((), ())),
+                w.astype(dt), gout.astype(dt), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [chunk, C]
 
             # read-modify-write accumulation (boundary windows overlap the
@@ -197,7 +202,10 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             rd_g.wait()
             rd_f.wait()
             dgeo_buf[:] = dgeo_buf[:] + dgeo_local
-            dfeat_buf[:] = dfeat_buf[:] + dfeat_local
+            # bf16 store: adds stay f32 (a window is accumulated at most
+            # twice — its own tile + a boundary-overlap neighbour)
+            dfeat_buf[:] = (dfeat_buf[:].astype(jnp.float32)
+                            + dfeat_local).astype(dfeat_buf.dtype)
             wr_g = pltpu.make_async_copy(
                 dgeo_buf, dgeo_hbm.at[:, pl.ds(off, chunk)], sem.at[0])
             wr_f = pltpu.make_async_copy(
@@ -232,9 +240,9 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
     pl.run_scoped(
         body,
         geo_buf=pltpu.VMEM((GEO_ROWS, chunk), jnp.float32),
-        feat_buf=pltpu.VMEM((chunk, c_out), jnp.float32),
+        feat_buf=pltpu.VMEM((chunk, c_out), feats_hbm.dtype),
         dgeo_buf=pltpu.VMEM((GEO_ROWS, chunk), jnp.float32),
-        dfeat_buf=pltpu.VMEM((chunk, c_out), jnp.float32),
+        dfeat_buf=pltpu.VMEM((chunk, c_out), dfeats_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -242,12 +250,13 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
-                     "interpret", "n_buckets"))
+                     "interpret", "n_buckets", "mm_dtype"))
 def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
                               gout, gtfin, tfin, acc, *, tile_w: int,
                               tile_h: int, ntx: int, ntiles: int,
                               chunk: int = 256, interpret: bool = False,
-                              n_buckets: int = 1):
+                              n_buckets: int = 1,
+                              mm_dtype: str = "float32"):
     """Run the backward kernel. gout/gtfin/tfin/acc are
     [ntiles, npix, C/1/1/C] (acc = the saved forward output, which equals
     the per-pixel weighted feature total needed for the suffix sums).
@@ -255,12 +264,14 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
     pairs_pad = pair_geo.shape[1]
     c_out = pair_feats.shape[1]
     npix = tile_h * tile_w
-    uexcl = jnp.triu(jnp.ones((chunk, chunk), jnp.float32), k=1)
-    uincl = jnp.triu(jnp.ones((chunk, chunk), jnp.float32), k=0)
+    udt = jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32
+    uexcl = jnp.triu(jnp.ones((chunk, chunk), udt), k=1)
+    uincl = jnp.triu(jnp.ones((chunk, chunk), udt), k=0)
 
     kernel = functools.partial(
         _backward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
-        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets)
+        ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets,
+        mm_dtype=mm_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -289,7 +300,8 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((GEO_ROWS, pairs_pad), jnp.float32),
-            jax.ShapeDtypeStruct((pairs_pad, c_out), jnp.float32),
+            # cotangent dtype must match the (possibly bf16) primal feats
+            jax.ShapeDtypeStruct((pairs_pad, c_out), pair_feats.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -302,7 +314,8 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
 
 @functools.lru_cache(maxsize=32)
 def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
-                       chunk: int, interpret: bool, n_buckets: int = 1):
+                       chunk: int, interpret: bool, n_buckets: int = 1,
+                       mm_dtype: str = "float32"):
     """Differentiable tile compositing: Pallas forward + Pallas backward.
 
     Returns f(start, count, geo, feats) -> (acc, tfin) with gradients
@@ -315,7 +328,7 @@ def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
         return composite_tiles_pallas(
             start, count, geo, feats, tile_w=tile_w, tile_h=tile_h,
             ntx=ntx, ntiles=ntiles, chunk=chunk, interpret=interpret,
-            n_buckets=n_buckets)
+            n_buckets=n_buckets, mm_dtype=mm_dtype)
 
     def fwd(start, count, geo, feats):
         acc, tfin = f(start, count, geo, feats)
@@ -327,7 +340,8 @@ def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
         dgeo, dfeats = composite_backward_pallas(
             start, count, geo, feats, dacc, dtfin, tfin, acc,
             tile_w=tile_w, tile_h=tile_h, ntx=ntx, ntiles=ntiles,
-            chunk=chunk, interpret=interpret, n_buckets=n_buckets)
+            chunk=chunk, interpret=interpret, n_buckets=n_buckets,
+            mm_dtype=mm_dtype)
         zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
         return zi(start), zi(count), dgeo, dfeats
 

@@ -133,6 +133,49 @@ def _composite_tiles(binning: Binning, mean2d: jnp.ndarray,
     return img, tf
 
 
+def make_binning(pre: Preprocessed, width: int, height: int,
+                 cfg: RasterizeConfig, max_per_tile: int):
+    """Bin preprocessed gaussians; returns (binning, overflow_pairs). This
+    is the sort-dominated half of the prep pipeline
+    (duplicateWithKeys + radix sort + identifyTileRanges,
+    rasterizer_impl.cu:280-320) — it depends only on geometry
+    (mean2d/radius/depth/valid), carries no gradients, and so may be
+    cached across iterations of the same view (mapper
+    binning_refresh_interval)."""
+    if cfg.backend == "pallas":
+        nb = getattr(cfg, "n_buckets", 1)
+        if nb > 1:
+            binning = bin_gaussians_bucketed(
+                pre, width, height, cfg, nb, cfg.bucket_cap)
+            overflow = binning.span_overflow + binning.overflow
+        else:
+            binning = bin_gaussians(pre, width, height, cfg)
+            overflow = binning.span_overflow + jnp.maximum(
+                binning.num_rendered - cfg.max_pairs, 0)
+    else:
+        binning = bin_gaussians(pre, width, height, cfg)
+        overflow = binning.span_overflow + jnp.sum(
+            jnp.maximum(binning.tile_count - max_per_tile, 0))
+    return binning, overflow.astype(jnp.int32)
+
+
+def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
+                    quats: jnp.ndarray, valid: jnp.ndarray,
+                    world_view: jnp.ndarray, full_proj: jnp.ndarray,
+                    tan_fovx, tan_fovy, width: int, height: int,
+                    cfg: RasterizeConfig, max_per_tile: int = 2048,
+                    scale_modifier: float = 1.0):
+    """Standalone binning for callers that cache it (activated scales
+    expected, like render_arrays)."""
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+    pre = preprocess(
+        means3d, scales, normalize_quat(quats), valid, world_view,
+        full_proj, width, height, focal_x, focal_y, tan_fovx, tan_fovy,
+        scale_modifier)
+    return make_binning(pre, width, height, cfg, max_per_tile)
+
+
 def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
                   lang_feat: jnp.ndarray, opacity: jnp.ndarray,
                   scales: jnp.ndarray, quats: jnp.ndarray,
@@ -146,7 +189,8 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
                   mean2d_offset: jnp.ndarray | None = None,
                   max_per_tile: int = 2048,
                   colors_precomp: jnp.ndarray | None = None,
-                  stop_depth_grad: bool = True) -> RasterizeOutput:
+                  stop_depth_grad: bool = True,
+                  binning=None) -> RasterizeOutput:
     """Core render on raw arrays (jit/grad-friendly: width/height static,
     everything else traceable). See `rasterize` for argument docs."""
     focal_x = width / (2.0 * tan_fovx)
@@ -174,27 +218,24 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
     parts.append(depth_const[:, None])
     feats = jnp.concatenate(parts, axis=-1)
 
+    if binning is None:
+        binning, overflow = make_binning(pre, width, height, cfg,
+                                         max_per_tile)
+    else:
+        binning, overflow = binning
+        # a cached binning references gaussian SLOTS; the caller must
+        # invalidate on any store surgery (densify/prune/increase/reset)
+        binning = jax.tree.map(jax.lax.stop_gradient, binning)
     if cfg.backend == "pallas":
         from legslam_tpu.ops.pallas.composite import composite_image_pallas
         nb = getattr(cfg, "n_buckets", 1)
-        if nb > 1:
-            binning = bin_gaussians_bucketed(
-                pre, width, height, cfg, nb, cfg.bucket_cap)
-            overflow = binning.span_overflow + binning.overflow
-        else:
-            binning = bin_gaussians(pre, width, height, cfg)
-            overflow = binning.span_overflow + jnp.maximum(
-                binning.num_rendered - cfg.max_pairs, 0)
         img, t_final = composite_image_pallas(
             binning, pre.mean2d, pre.conic, opacity, feats, width, height,
             cfg.tile_w, cfg.tile_h, cfg.max_pairs, cfg.chunk,
             interpret=cfg.pallas_interpret, differentiable=True,
-            n_buckets=nb)
+            n_buckets=nb, mm_dtype=getattr(cfg, "mm_dtype", "float32"))
         img = img[..., :feats.shape[-1]]
     else:
-        binning = bin_gaussians(pre, width, height, cfg)
-        overflow = binning.span_overflow + jnp.sum(
-            jnp.maximum(binning.tile_count - max_per_tile, 0))
         img, t_final = _composite_tiles(
             binning, pre.mean2d, pre.conic, opacity, feats,
             width, height, cfg, max_per_tile)

@@ -38,6 +38,9 @@ class KeyframePacket:
     color: np.ndarray             # [H,W,3] float32 RGB
     depth: Optional[np.ndarray]   # [H,W] float32 meters
     lf_image: Optional[np.ndarray]  # [37,37,64] language features
+    # rectified right image for STEREO sensors (KeyFrame::imgAuxiliary in
+    # stereo mode feeds the SGM densify branch, gaussian_mapper.cpp:1302)
+    color_right: Optional[np.ndarray] = None
     # undistorted keypoint pixels + camera-local 3D points (z=-1 when no
     # map point) — KeyFrame::GetKeypointInfo contract (KeyFrame.h:264)
     kp_pixels: Optional[np.ndarray] = None    # [N,2]

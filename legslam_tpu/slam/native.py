@@ -1,0 +1,102 @@
+"""ctypes binding + on-demand build of the native tracking kernels.
+
+The reference's pose source is wholly native (the ORB-SLAM3 C++ fork); our
+frontend keeps orchestration in Python but runs the per-frame hot CV
+kernels — Shi-Tomasi detection and pyramidal Lucas-Kanade flow — in C++
+(native/tracking_core.cpp). The shared library is compiled once with g++
+on first use and cached next to the source; loading is ctypes-only (no
+pybind dependency, per the environment constraints).
+
+Selection order in slam/tracking.py: this module when importable/buildable,
+else OpenCV, else the pure-numpy fallback.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "tracking_core.cpp")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build(src: str, out: str) -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The loaded library, building it if needed; None when unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SRC):
+            return None
+        so = os.path.join(os.path.dirname(_SRC), "libtracking_core.so")
+        if not os.path.exists(so) or \
+                os.path.getmtime(so) < os.path.getmtime(_SRC):
+            if not _build(_SRC, so):
+                return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.st_detect.restype = ctypes.c_int
+        lib.st_detect.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_float,
+                                  ctypes.c_int, f32p]
+        lib.klt_track.restype = None
+        lib.klt_track.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                                  f32p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, f32p, u8p]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def detect_corners(gray: np.ndarray, max_corners: int,
+                   min_distance: int = 7,
+                   quality: float = 0.01) -> np.ndarray:
+    """[N,2] (x, y) Shi-Tomasi corners via the native kernel."""
+    lib = load()
+    assert lib is not None
+    g = np.ascontiguousarray(gray, np.float32)
+    out = np.empty((max_corners, 2), np.float32)
+    n = lib.st_detect(g, g.shape[0], g.shape[1], max_corners,
+                      quality, min_distance, out)
+    return out[:n].copy()
+
+
+def klt_track(prev_gray: np.ndarray, cur_gray: np.ndarray,
+              pts: np.ndarray, levels: int = 3, win: int = 10,
+              iters: int = 30) -> tuple[np.ndarray, np.ndarray]:
+    """Pyramidal LK: returns ([N,2] new points, [N] bool tracked)."""
+    lib = load()
+    assert lib is not None
+    p = np.ascontiguousarray(prev_gray, np.float32)
+    c = np.ascontiguousarray(cur_gray, np.float32)
+    q = np.ascontiguousarray(pts, np.float32)
+    out = np.empty_like(q)
+    status = np.empty(len(q), np.uint8)
+    lib.klt_track(p, c, p.shape[0], p.shape[1], q, len(q), levels, win,
+                  iters, out, status)
+    return out, status.astype(bool)

@@ -51,6 +51,18 @@ except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
 
+def _use_native() -> bool:
+    """Prefer the C++ kernels (native/tracking_core.cpp via slam/native.py)
+    when opted in or when OpenCV is absent — the reference's frontend hot
+    path is wholly native; ours is too under LEGSLAM_NATIVE_TRACKING=1."""
+    import os
+    want = os.environ.get("LEGSLAM_NATIVE_TRACKING") == "1" or not _HAS_CV2
+    if not want:
+        return False
+    from legslam_tpu.slam import native
+    return native.available()
+
+
 # ---------------------------------------------------------------------------
 # Feature detection / tracking primitives
 # ---------------------------------------------------------------------------
@@ -64,6 +76,14 @@ def detect_corners(gray: np.ndarray, max_corners: int,
                    min_distance: int = 7,
                    avoid: Optional[np.ndarray] = None) -> np.ndarray:
     """[N,2] (x,y) Shi-Tomasi corners, avoiding existing track positions."""
+    if _use_native():
+        from legslam_tpu.slam import native
+        pts = native.detect_corners(gray.astype(np.float32) / 255.0,
+                                    max_corners, min_distance)
+        if avoid is not None and len(avoid) and len(pts):
+            d2 = ((pts[:, None] - avoid[None]) ** 2).sum(-1)
+            pts = pts[d2.min(1) >= min_distance ** 2]
+        return pts
     if _HAS_CV2:
         mask = None
         if avoid is not None and len(avoid):
@@ -86,6 +106,15 @@ def klt_track(prev_gray: np.ndarray, cur_gray: np.ndarray,
     """Track pts [N,2] from prev to cur. Returns (new_pts, ok_mask)."""
     if len(pts) == 0:
         return pts, np.zeros((0,), bool)
+    if _use_native():
+        from legslam_tpu.slam import native
+        nxt, ok = native.klt_track(prev_gray.astype(np.float32) / 255.0,
+                                   cur_gray.astype(np.float32) / 255.0,
+                                   pts)
+        h, w = cur_gray.shape
+        ok &= (nxt[:, 0] >= 1) & (nxt[:, 0] < w - 1) & \
+              (nxt[:, 1] >= 1) & (nxt[:, 1] < h - 1)
+        return nxt, ok
     if _HAS_CV2:
         nxt, st, _ = cv2.calcOpticalFlowPyrLK(
             prev_gray, cur_gray, pts.reshape(-1, 1, 2), None,

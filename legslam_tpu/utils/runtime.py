@@ -50,3 +50,49 @@ def timed(label: str, sink: list | None = None):
     dt = time.perf_counter() - t0
     if sink is not None:
         sink.append((label, dt))
+
+
+@contextmanager
+def profile_trace(log_dir: str):
+    """jax.profiler trace scope — the TPU-native equivalent of the
+    reference's chrono probes (SURVEY.md §5 names this): view the resulting
+    trace in TensorBoard / Perfetto. No-op teardown on backends that don't
+    support tracing."""
+    import jax
+    os.makedirs(log_dir, exist_ok=True)
+    try:
+        jax.profiler.start_trace(log_dir)
+        yield log_dir
+    finally:
+        try:
+            jax.profiler.stop_trace()
+        except Exception:  # pragma: no cover — trace never started
+            pass
+
+
+def device_memory_stats() -> dict:
+    """Per-device memory stats (bytes_in_use/peak_bytes_in_use when the
+    backend reports them) — the c10 CUDACachingAllocator-stats equivalent
+    (examples/replica_rgbd.cpp:280-294)."""
+    import jax
+    out = {}
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:  # pragma: no cover — backend without stats
+            stats = {}
+        out[str(d)] = {k: int(v) for k, v in stats.items()
+                       if isinstance(v, (int, float))}
+    return out
+
+
+def save_peak_memory(path: str) -> dict:
+    """Write the reference's GpuPeakUsageMB.txt-style artifact
+    (TpuPeakUsageMB layout: one 'device peak_mb in_use_mb' line each)."""
+    stats = device_memory_stats()
+    with open(path, "w") as f:
+        for dev, s in stats.items():
+            peak = s.get("peak_bytes_in_use", 0) / 2**20
+            cur = s.get("bytes_in_use", 0) / 2**20
+            f.write(f"{dev} peak_mb={peak:.1f} in_use_mb={cur:.1f}\n")
+    return stats

@@ -164,3 +164,21 @@ def test_viewer_view_only(tmp_path, rng):
         assert data[:2] == b"\xff\xd8"  # JPEG magic
     finally:
         server.shutdown()
+
+
+def test_profiler_and_memory_artifacts(tmp_path):
+    """jax.profiler trace scope + TpuPeakUsageMB artifact (SURVEY.md §5
+    tracing/profiling; examples/replica_rgbd.cpp:280-294 equivalent)."""
+    import jax.numpy as jnp
+
+    from legslam_tpu.utils import runtime
+
+    with runtime.profile_trace(str(tmp_path / "trace")):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    import os
+    assert any(os.scandir(tmp_path / "trace"))
+
+    stats = runtime.save_peak_memory(str(tmp_path / "mem.txt"))
+    assert isinstance(stats, dict) and stats
+    text = (tmp_path / "mem.txt").read_text()
+    assert "peak_mb" in text

@@ -11,6 +11,8 @@ from legslam_tpu.mapper.mapper import GaussianMapper
 from legslam_tpu.ops import losses
 from legslam_tpu.slam.trajectory import TrajectoryFrontend
 
+pytestmark = pytest.mark.slow  # e2e training: minutes on CPU
+
 CFG = RasterizeConfig(tile_h=16, tile_w=128, max_span_x=3, max_span_y=8,
                       chunk=64, tile_batch=4)
 

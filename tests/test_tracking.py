@@ -76,6 +76,7 @@ def tracked(gentle_seq):
     return ds, frames, fe
 
 
+@pytest.mark.slow
 def test_tracking_ate_without_gt(tracked):
     ds, frames, fe = tracked
     assert fe.num_keyframes >= 3
@@ -88,6 +89,7 @@ def test_tracking_ate_without_gt(tracked):
     assert ate_ns["rmse"] < 0.15, ate_ns
 
 
+@pytest.mark.slow
 def test_tracking_beats_integrated_odometry(tracked):
     """Landmark anchoring + local BA must drift less than naive
     frame-to-frame odometry integration (the VERDICT acceptance bar)."""
@@ -120,6 +122,7 @@ def test_tracking_beats_integrated_odometry(tracked):
     assert ate_trk < ate_odo, (ate_trk, ate_odo)
 
 
+@pytest.mark.slow
 def test_emits_mapping_operations_and_keypoints(tracked):
     ds, frames, fe = tracked
     ops = []
@@ -137,6 +140,7 @@ def test_emits_mapping_operations_and_keypoints(tracked):
     assert np.abs(first.points_xyz).max() < 8.0
 
 
+@pytest.mark.slow
 def test_keyframe_culling_feeds_live_set(gentle_seq):
     ds, frames = gentle_seq
     # force a KF every frame with long-lived tracks -> redundancy culls

@@ -7,8 +7,12 @@ Sources (any subset; all optional):
   --clip-openai PATH      OpenAI CLIP ViT-B/16 state dict (.pt)
   --clip-hf  NAME/DIR     HF CLIPTextModelWithProjection name or dir
   --talk2dino PATH        weights/vitb_mlp_infonce.pth
+  --lpips-alex PATH       lpips package alex.pth (lin weights); needs
+                          torchvision's pretrained alexnet importable for
+                          the feature trunk
 
-Outputs <out>/dinov2.npz, pca.npz, clip_text.npz, talk2dino_proj.npz.
+Outputs <out>/dinov2.npz, pca.npz, clip_text.npz, talk2dino_proj.npz,
+lpips_alex.npz.
 """
 from __future__ import annotations
 
@@ -30,6 +34,7 @@ def main(argv=None):
     p.add_argument("--clip-openai")
     p.add_argument("--clip-hf")
     p.add_argument("--talk2dino")
+    p.add_argument("--lpips-alex")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
@@ -75,6 +80,23 @@ def main(argv=None):
         save_params(os.path.join(args.out, "clip_text.npz"),
                     CT.convert_hf(sd))
         print("wrote clip_text.npz (hf)")
+
+    if args.lpips_alex:
+        import torch
+        from torchvision.models import alexnet
+        trunk = alexnet(weights="IMAGENET1K_V1").features.state_dict()
+        lin = torch.load(args.lpips_alex, map_location="cpu",
+                         weights_only=True)
+        out = {}
+        # torchvision features indices of the 5 convs: 0, 3, 6, 8, 10
+        for i, idx in enumerate((0, 3, 6, 8, 10)):
+            w = trunk[f"{idx}.weight"].numpy()          # OIHW
+            out[f"conv{i}/w"] = w.transpose(2, 3, 1, 0)  # -> HWIO
+            out[f"conv{i}/b"] = trunk[f"{idx}.bias"].numpy()
+            lw = lin[f"lin{i}.model.1.weight"].numpy()  # [1, C, 1, 1]
+            out[f"lin{i}/w"] = lw.reshape(-1)
+        np.savez(os.path.join(args.out, "lpips_alex.npz"), **out)
+        print("wrote lpips_alex.npz")
 
     if args.talk2dino:
         proj = T2D.load_projection(args.talk2dino)

@@ -1,0 +1,172 @@
+"""Segment profile of the production mapping step at bench shapes.
+
+Times isolated pieces of the train step (median over PROF_ITERS calls with
+a per-call host fetch — block_until_ready alone does not force execution
+through the axon tunnel) so perf work targets the real bottleneck:
+
+  binning        the sort-dominated prep pipeline (compute_binning)
+  render_fwd     preprocess + pair gathers + forward kernel (cached binning)
+  render_grad    value_and_grad of render+loss (adds bwd kernel + scatters)
+  loss           mapping_loss fwd+bwd on fixed images
+  step_cached    full train_step with a cached binning
+  step_fresh     full train_step including binning
+
+Env: PROF_MM_DTYPE (bfloat16), PROF_ITERS (8), PROF_TRACE=dir to also dump
+a jax.profiler trace of one step_fresh call, PROF_SMOKE=1 tiny shapes.
+
+Usage: python tools/profile_step.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legslam_tpu.utils.runtime import (enable_compilation_cache,
+                                       profile_trace, save_peak_memory)
+
+
+def median_time(fn, sync, iters):
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        sync(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def main():
+    enable_compilation_cache()
+    from legslam_tpu.config import OptimizationParams, RasterizeConfig
+    from legslam_tpu.mapper.train_step import train_step
+    from legslam_tpu.models import gaussians as G
+    from legslam_tpu.ops import losses as L
+    from legslam_tpu.ops.rasterize import compute_binning, render_arrays
+    from legslam_tpu.utils.camera import CameraView
+
+    smoke = os.environ.get("PROF_SMOKE") == "1"
+    mm = os.environ.get("PROF_MM_DTYPE", "bfloat16")
+    iters = int(os.environ.get("PROF_ITERS", "8"))
+    width, height = (320, 192) if smoke else (1200, 680)
+    n_points = 20_000 if smoke else 200_000
+    capacity = 1 << (15 if smoke else 18)
+
+    cfg = RasterizeConfig(tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
+                          chunk=256, backend="pallas",
+                          max_pairs=1 << (16 if smoke else 20), mm_dtype=mm)
+    opt = OptimizationParams()
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-3, 3, size=(n_points, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(0.5, 8.0, size=n_points).astype(np.float32)
+    cols = rng.uniform(size=(n_points, 3)).astype(np.float32)
+    st = G.create_from_pcd(pts, cols, capacity)
+    w2c = np.eye(4, dtype=np.float32)
+    view = CameraView.create(w2c[:3, :3], w2c[:3, 3], width, height,
+                             fx=600.0, fy=600.0)
+    gt_color = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+    gt_lf = jnp.asarray(rng.normal(0, 0.5, (height, width, 64)), jnp.float32)
+    gt_depth = jnp.asarray(rng.uniform(0.5, 8.0, (height, width)),
+                           jnp.float32)
+    mask = jnp.ones((height, width), jnp.float32)
+    bg = jnp.zeros(3)
+
+    binning_jit = jax.jit(compute_binning,
+                          static_argnames=("width", "height", "cfg",
+                                           "max_per_tile"))
+
+    def make_binning(s):
+        return binning_jit(s.params.xyz, jnp.exp(s.params.scaling),
+                           s.params.rotation, s.valid, view.world_view,
+                           view.full_proj, view.tan_fovx, view.tan_fovy,
+                           width=width, height=height, cfg=cfg,
+                           max_per_tile=2048)
+
+    def render(s, binning):
+        p = s.params
+        sh = jnp.concatenate([p.f_dc, p.f_rest], axis=1)
+        return render_arrays(
+            p.xyz, sh, p.lang_feat, jax.nn.sigmoid(p.opacity),
+            jnp.exp(p.scaling), p.rotation, s.valid, view.world_view,
+            view.full_proj, view.cam_center, view.tan_fovx, view.tan_fovy,
+            width, height, bg, 3, cfg, binning=binning)
+
+    @jax.jit
+    def render_fwd(s, binning):
+        out = render(s, binning)
+        return out.color[0, 0, 0] + out.depth[0, 0] + out.lang_feat[0, 0, 0]
+
+    @jax.jit
+    def render_grad(s, binning):
+        def f(params):
+            out = render(s.replace(params=params), binning)
+            return L.mapping_loss(out.color, gt_color, out.lang_feat, gt_lf,
+                                  out.depth, gt_depth, mask, 0.2)
+        val, g = jax.value_and_grad(f)(s.params)
+        return val + g.xyz[0, 0]
+
+    @jax.jit
+    def loss_only(c, lf, d):
+        def f(c):
+            return L.mapping_loss(c, gt_color, lf, gt_lf, d, gt_depth,
+                                  mask, 0.2)
+        val, g = jax.value_and_grad(f)(c)
+        return val + g[0, 0, 0]
+
+    def step(s, binning):
+        return train_step(s, view.world_view, view.full_proj,
+                          view.cam_center, view.tan_fovx, view.tan_fovy,
+                          gt_color, gt_lf, gt_depth, mask, bg,
+                          jnp.asarray(0.0), 1.0, width=width, height=height,
+                          active_sh_degree=3, opt=opt, cfg=cfg,
+                          max_per_tile=2048, binning=binning)
+
+    binning = jax.block_until_ready(make_binning(st))
+    rc = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+    rlf = jnp.asarray(rng.normal(0, 0.5, (height, width, 64)), jnp.float32)
+    rd = jnp.asarray(rng.uniform(0.5, 8.0, (height, width)), jnp.float32)
+
+    segs = {}
+    # warmup (compile) everything first
+    float(render_fwd(st, binning))
+    float(render_grad(st, binning))
+    float(loss_only(rc, rlf, rd))
+    s2, aux = step(st, binning)
+    float(aux.loss)
+    s3, aux = step(st, None)
+    float(aux.loss)
+
+    fetch = lambda x: float(x)  # noqa: E731
+    segs["binning"] = median_time(
+        lambda: make_binning(st), lambda b: int(b[0].num_rendered), iters)
+    segs["render_fwd"] = median_time(
+        lambda: render_fwd(st, binning), fetch, iters)
+    segs["render_grad"] = median_time(
+        lambda: render_grad(st, binning), fetch, iters)
+    segs["loss"] = median_time(lambda: loss_only(rc, rlf, rd), fetch, iters)
+    segs["step_cached"] = median_time(
+        lambda: step(st, binning), lambda o: float(o[1].loss), iters)
+    segs["step_fresh"] = median_time(
+        lambda: step(st, None), lambda o: float(o[1].loss), iters)
+
+    trace_dir = os.environ.get("PROF_TRACE")
+    if trace_dir:
+        with profile_trace(trace_dir):
+            _, aux = step(st, None)
+            float(aux.loss)
+        save_peak_memory(os.path.join(trace_dir, "TpuPeakUsageMB.txt"))
+
+    print(json.dumps(dict(
+        mm_dtype=mm, width=width, height=height, n_points=n_points,
+        num_rendered=int(binning[0].num_rendered),
+        segments_ms={k: round(v * 1e3, 1) for k, v in segs.items()})))
+
+
+if __name__ == "__main__":
+    main()
