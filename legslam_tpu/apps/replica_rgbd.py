@@ -32,6 +32,10 @@ def main(argv=None):
                         help="camera YAML (cfg/camera/...) overriding the "
                              "dataset's intrinsics, incl. dist_coeffs")
     parser.add_argument("--kf-stride", type=int, default=8)
+    parser.add_argument("--frontend", default="trajectory",
+                        choices=("trajectory", "visual"),
+                        help="trajectory = GT-pose playback; visual = "
+                        "KLT+RANSAC tracking (GT poses ignored)")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--capacity", type=int, default=1 << 18)
     parser.add_argument("--iters-per-frame", type=int, default=1)
@@ -75,7 +79,11 @@ def main(argv=None):
         cam_intr = intrinsics_from_yaml(load_opencv_yaml(args.camera_cfg))
     ds = open_dataset(args.data)
     intr = {**ds.intrinsics, **(cam_intr or {})}
-    frontend = TrajectoryFrontend(intr, kf_stride=args.kf_stride)
+    if args.frontend == "visual":
+        from legslam_tpu.slam.tracking import TrackingFrontend
+        frontend = TrackingFrontend(intr)
+    else:
+        frontend = TrajectoryFrontend(intr, kf_stride=args.kf_stride)
     mapper = GaussianMapper(frontend.queue, intr, opt=opt, mp=mp, cfg=cfg,
                             capacity=args.capacity, result_dir=args.out,
                             seed=args.seed, max_per_tile=args.max_per_tile,

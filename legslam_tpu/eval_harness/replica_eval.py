@@ -35,18 +35,35 @@ def run_scene(scene_dir: str, out_dir: str,
               encoder=None, iterations_per_frame: int = 1,
               return_mapper: bool = False,
               lf_loader=None,
-              lpips_weights: Optional[str] = None) -> dict:
-    """Online mapping over one scene; returns metrics + timing."""
+              lpips_weights: Optional[str] = None,
+              frontend: str = "trajectory",
+              frontend_kwargs: Optional[dict] = None) -> dict:
+    """Online mapping over one scene; returns metrics + timing.
+
+    frontend: "trajectory" plays back GT poses (ATE is then vacuous, 0 by
+    construction); "visual" runs the KLT+RANSAC tracking frontend with GT
+    poses hidden, so ate_rmse measures real tracking drift (the reference's
+    setup: ORB-SLAM3 estimates poses, eval/replica_test.py:29-46 scores
+    them against GT)."""
     import jax
 
     ds = open_dataset(scene_dir)
-    frontend = TrajectoryFrontend(ds.intrinsics, kf_stride=kf_stride)
-    mapper = GaussianMapper(frontend.queue, ds.intrinsics, opt=opt, mp=mp,
+    if frontend == "visual":
+        from legslam_tpu.slam.tracking import TrackingFrontend
+        frontend_obj = TrackingFrontend(ds.intrinsics,
+                                        **(frontend_kwargs or {}))
+    else:
+        frontend_obj = TrajectoryFrontend(ds.intrinsics,
+                                          kf_stride=kf_stride,
+                                          **(frontend_kwargs or {}))
+    fe = frontend_obj
+    mapper = GaussianMapper(fe.queue, ds.intrinsics, opt=opt, mp=mp,
                             cfg=cfg, capacity=capacity, result_dir=out_dir)
 
     n = len(ds) if max_frames is None else min(len(ds), max_frames)
     t_start = time.perf_counter()
     est_centers, gt_centers = [], []
+    gt_by_fid = {}
     it = iter(ds.iter_prefetched())
     for i in range(n):
         frame = next(it)
@@ -56,7 +73,12 @@ def run_scene(scene_dir: str, out_dir: str,
                 encoder.create_language_features(frame.color))
         elif lf_loader is not None:
             lf = lf_loader(frame)
-        frontend.track(frame, lf_image=lf)
+        if frontend == "visual" and frame.c2w is not None:
+            # hide GT from the tracker; keep it for ATE scoring
+            gt_by_fid[frame.index] = frame.c2w[:3, 3]
+            import dataclasses as _dc
+            frame = _dc.replace(frame, c2w=None)
+        fe.track(frame, lf_image=lf)
         # the reference trains concurrently; serial equivalent: a fixed
         # number of mapper ticks per frame
         mapper.drain_operations()
@@ -65,12 +87,25 @@ def run_scene(scene_dir: str, out_dir: str,
         if mapper.state is not None:
             for _ in range(iterations_per_frame):
                 mapper.train_iteration()
-        if frame.c2w is not None:
+        if frontend != "visual" and frame.c2w is not None:
             gt_centers.append(frame.c2w[:3, 3])
             est_centers.append(frame.c2w[:3, 3])  # GT-pose frontend: exact
-    frontend.finish()
+    if frontend == "visual":
+        # retro-corrected (BA/loop) trajectory vs the withheld GT
+        fids, c2w = fe.trajectory()
+        for f, T in zip(fids, c2w):
+            if int(f) in gt_by_fid:
+                est_centers.append(T[:3, 3])
+                gt_centers.append(gt_by_fid[int(f)])
+    fe.finish()
     total = time.perf_counter() - t_start
     fps = n / total
+
+    # the feed is done; force map init if the threshold was never crossed
+    # mid-run (short sequences / sparse keyframe decisions)
+    mapper.drain_operations(limit=10_000)
+    if mapper.state is None and len(mapper.keyframes):
+        mapper.initialize_map()
 
     # tail optimization
     for _ in range(int(0.8 * mapper.opt.densification_interval)):

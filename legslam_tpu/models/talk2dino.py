@@ -127,9 +127,16 @@ def cosine_heatmap(lf_image: jnp.ndarray, text_emb: jnp.ndarray,
 
 def build_image_embedding(dino_params: dict, pca: PCA.PCAParams,
                           rgb: jnp.ndarray, cfg=None) -> jnp.ndarray:
-    """Image-as-query embedding (eval/utils.py:113-171): DINOv2 patch
-    tokens, L2-normalized, averaged, PCA-compressed -> [64]. Lets images be
-    used in place of text for similarity queries."""
+    """Image-as-query embedding: DINOv2 patch tokens, L2-normalized,
+    averaged, PCA-compressed -> [64]. Lets images be used in place of text
+    for similarity queries.
+
+    DELIBERATE DEVIATION from the reference (eval/utils.py:113-171), which
+    routes image queries through CLIP's vision tower at 224px + the
+    Talk2DINO projection: no CLIP image encoder exists in this repo, and
+    rendered language features live in DINOv2 space already, so querying
+    with mean DINOv2 patch features compares like-with-like. Similarity
+    rankings will differ from the reference's CLIP-routed variant."""
     from legslam_tpu.models import dinov2 as D
     cfg = cfg or D.DinoV2Config()
     size = cfg.image_size

@@ -6,7 +6,13 @@ GaussianMapper::renderFromPose and exposing live hyperparameter sliders
 a small web app with the same capabilities:
 
   GET /            interactive HTML viewer (WASD + drag orbit)
-  GET /render?...  JPEG render from an arbitrary pose (renderFromPose)
+  GET /render?...  JPEG render from an arbitrary pose (renderFromPose);
+                   overlay=1 draws the sparse map points + keyframe
+                   frusta + current camera on top (the map drawer,
+                   viewer/map_drawer.cpp:130 DrawMapPoints, :173
+                   DrawKeyFrames, :393 DrawCurrentCamera)
+  GET /slam_frame  current tracked frame with keypoint overlay (the
+                   SLAM-frame pane of the reference viewer)
   GET /state       live stats (iteration, gaussians, ema loss)
   POST /params     live optimization-parameter overrides (the
                    get/setVaribleParameters round-trip,
@@ -28,13 +34,17 @@ import numpy as np
 _PAGE = """<!doctype html><html><head><title>legslam_tpu viewer</title>
 <style>body{background:#111;color:#ddd;font-family:monospace;margin:12px}
 img{border:1px solid #444}</style></head><body>
-<div>legslam_tpu live viewer — drag to orbit, wheel to zoom, WASD to pan</div>
-<img id=v width=640 height=360><pre id=s></pre>
+<div>legslam_tpu live viewer — drag to orbit, wheel to zoom, WASD to pan,
+ o toggles the map overlay (points+frusta)</div>
+<img id=v width=640 height=360>
+<img id=f width=320 height=180 title="SLAM frame + keypoints">
+<pre id=s></pre>
 <script>
-let yaw=0,pitch=0,r=3,cx=0,cy=0,cz=0,busy=false;
+let yaw=0,pitch=0,r=3,cx=0,cy=0,cz=0,busy=false,ov=0;
 async function refresh(){
  if(busy)return;busy=true;
- const u=`/render?yaw=${yaw}&pitch=${pitch}&r=${r}&cx=${cx}&cy=${cy}&cz=${cz}&w=640&h=360`;
+ const u=`/render?yaw=${yaw}&pitch=${pitch}&r=${r}&cx=${cx}&cy=${cy}&cz=${cz}&w=640&h=360&overlay=${ov}`;
+ document.getElementById('f').src=`/slam_frame?t=${Date.now()}`;
  const img=document.getElementById('v');
  img.src=u+`&t=${Date.now()}`;
  img.onload=()=>{busy=false};img.onerror=()=>{busy=false};
@@ -50,7 +60,8 @@ window.onwheel=e=>{r*=e.deltaY>0?1.1:0.9;refresh();};
 window.onkeydown=e=>{const s=0.1;
  if(e.key=='w')cz+=s;if(e.key=='s')cz-=s;
  if(e.key=='a')cx-=s;if(e.key=='d')cx+=s;
- if(e.key=='q')cy-=s;if(e.key=='e')cy+=s;refresh();};
+ if(e.key=='q')cy-=s;if(e.key=='e')cy+=s;
+ if(e.key=='o')ov=1-ov;refresh();};
 setInterval(refresh,500);refresh();
 </script></body></html>"""
 
@@ -79,8 +90,9 @@ def _orbit_pose(yaw: float, pitch: float, radius: float,
 
 class ViewerServer:
     def __init__(self, mapper=None, host: str = "0.0.0.0",
-                 port: int = 8006):
+                 port: int = 8006, frontend=None):
         self.mapper = mapper
+        self.frontend = frontend  # TrackingFrontend for the SLAM pane
         self.host, self.port = host, port
         self._static_state = None  # (GaussianState, cfg) for view-only
 
@@ -120,6 +132,73 @@ class ViewerServer:
         else:
             color = np.zeros((h, w, 3), np.float32)
         img8 = (np.clip(color, 0, 1) * 255).astype(np.uint8)
+        if q.get("overlay") in ("1", "true") and self.frontend is not None:
+            img8 = self._draw_map_overlay(np.ascontiguousarray(img8),
+                                          R, t, w, h)
+        ok, buf = cv2.imencode(".jpg", cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
+        return buf.tobytes()
+
+    def _project(self, world: np.ndarray, R, t, fx, fy, cx, cy):
+        cam = world @ R.T + t
+        z = cam[:, 2]
+        ok = z > 1e-3
+        px = np.stack([fx * cam[:, 0] / np.maximum(z, 1e-3) + cx,
+                       fy * cam[:, 1] / np.maximum(z, 1e-3) + cy], -1)
+        return px, ok
+
+    def _draw_map_overlay(self, img8, R, t, w, h):
+        """Sparse map points (black, map_drawer.cpp:130-171), keyframe
+        frusta (blue wireframes, :173-210) and the current camera (green,
+        :393-430), projected into the orbit view and drawn in 2D — the
+        headless-web equivalent of the reference's GL overlay."""
+        import cv2
+        fe = self.frontend
+        fx = fy = 0.7 * w
+        cx, cy = w / 2 - 0.5, h / 2 - 0.5
+        lms = getattr(fe, "landmarks", {})
+        if len(lms):
+            world = np.stack([lm.world for lm in lms.values()])
+            px, ok = self._project(world, R, t, fx, fy, cx, cy)
+            for p in px[ok].astype(int):
+                if 0 <= p[0] < w and 0 <= p[1] < h:
+                    cv2.circle(img8, tuple(p), 1, (20, 20, 20), -1)
+        # frustum template in camera coords (z forward)
+        s = 0.1
+        frust = np.array([[0, 0, 0], [-s, -0.6 * s, s], [s, -0.6 * s, s],
+                          [s, 0.6 * s, s], [-s, 0.6 * s, s]], np.float32)
+        edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4),
+                 (4, 1)]
+
+        def draw_frustum(kr, kt, color):
+            world = (frust - kt) @ kr  # camera->world
+            px, ok = self._project(world, R, t, fx, fy, cx, cy)
+            for a, b in edges:
+                if ok[a] and ok[b]:
+                    cv2.line(img8, tuple(px[a].astype(int)),
+                             tuple(px[b].astype(int)), color, 1)
+
+        for kf in getattr(fe, "keyframes", {}).values():
+            draw_frustum(kf.R, kf.t, (60, 60, 255))
+        if getattr(fe, "_cur_R", None) is not None:
+            draw_frustum(fe._cur_R, fe._cur_t, (0, 255, 0))
+        return img8
+
+    def _slam_frame(self) -> bytes:
+        """Current tracked frame + keypoints (the reference viewer's SLAM
+        pane; keypoint overlay like ORB-SLAM3's FrameDrawer)."""
+        import cv2
+        vis = getattr(self.frontend, "last_vis", None) \
+            if self.frontend is not None else None
+        if vis is None:
+            img8 = np.zeros((180, 320, 3), np.uint8)
+        else:
+            g = (np.clip(vis["gray"], 0, 1) * 255).astype(np.uint8)
+            img8 = np.ascontiguousarray(np.stack([g, g, g], -1))
+            for p in np.asarray(vis["pts"]).astype(int):
+                cv2.circle(img8, tuple(p), 2, (0, 255, 0), 1)
+            cv2.putText(img8, f"kps {len(vis['pts'])} inl {vis['inliers']}",
+                        (4, 14), cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                        (0, 255, 255), 1)
         ok, buf = cv2.imencode(".jpg", cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
         return buf.tobytes()
 
@@ -170,6 +249,8 @@ class ViewerServer:
                         self._send(200, _PAGE.encode(), "text/html")
                     elif u.path == "/render":
                         self._send(200, viewer._render(q), "image/jpeg")
+                    elif u.path == "/slam_frame":
+                        self._send(200, viewer._slam_frame(), "image/jpeg")
                     elif u.path == "/state":
                         self._send(200, viewer._state())
                     else:

@@ -244,6 +244,7 @@ class TrackingFrontend:
                  enable_loop_closing: bool = True,
                  max_keyframes_live: int = 0, seed: int = 0):
         self.queue = OperationQueue()
+        self.last_vis = None  # viewer SLAM-frame snapshot (_capture_vis)
         self.intr = intrinsics
         self.max_corners = max_corners
         self.min_depth, self.max_depth = min_depth, max_depth
@@ -332,6 +333,7 @@ class TrackingFrontend:
             self._cur_t = np.zeros(3, np.float32)
             self._store_pose(frame.index)
             packet = self._make_keyframe(frame, gray, lf_image)
+            self._capture_vis(gray)
             self._prev_gray = gray
             return packet
 
@@ -362,6 +364,7 @@ class TrackingFrontend:
             self._prev_gray = gray
             if len(self._track_px) < self.min_inliers:
                 self._make_keyframe(frame, gray, lf_image)  # relocalize-ish
+            self._capture_vis(gray)
             return None
 
         self._cur_R, self._cur_t = R, t
@@ -376,8 +379,17 @@ class TrackingFrontend:
         if self._need_keyframe(inl.sum()):
             packet = self._make_keyframe(frame, gray, lf_image)
 
+        self._capture_vis(gray, int(inl.sum()))
         self._prev_gray = gray
         return packet
+
+    def _capture_vis(self, gray: np.ndarray, n_inliers: int = 0) -> None:
+        """Snapshot for the viewer's SLAM-frame pane (the reference's
+        ImGui current-frame + keypoint overlay, viewer/imgui_viewer.cpp)."""
+        self.last_vis = dict(gray=gray,
+                             pts=np.asarray(self._track_px,
+                                            np.float32).copy(),
+                             inliers=int(n_inliers))
 
     def _need_keyframe(self, n_inliers: int) -> bool:
         if n_inliers < self.min_track_ratio * self._last_kf_px_count:

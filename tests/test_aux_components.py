@@ -6,6 +6,7 @@ import zlib
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from legslam_tpu.mapper import checkpoint as CK
 from legslam_tpu.models import gaussians as G
@@ -182,3 +183,30 @@ def test_profiler_and_memory_artifacts(tmp_path):
     assert isinstance(stats, dict) and stats
     text = (tmp_path / "mem.txt").read_text()
     assert "peak_mb" in text
+
+
+def test_viewer_slam_pane_and_map_overlay(rng):
+    """SLAM-frame pane + sparse-map/frusta overlay (C18: the reference's
+    map drawer, viewer/map_drawer.cpp:130 DrawMapPoints, :173 DrawKeyFrames,
+    :393 DrawCurrentCamera)."""
+    pytest.importorskip("cv2")
+    from legslam_tpu.data.synthetic import SyntheticDataset
+    from legslam_tpu.serving.viewer import ViewerServer
+    from legslam_tpu.slam.tracking import TrackingFrontend
+
+    ds = SyntheticDataset(n_frames=4, width=128, height=64,
+                          n_gaussians=1200, seed=3, clutter_ratio=0.0)
+    fe = TrackingFrontend(ds.intrinsics, ransac_thresh=0.1, max_corners=200)
+    for frame in ds:
+        fe.track(frame)
+    assert fe.last_vis is not None and len(fe.last_vis["pts"]) > 0
+
+    v = ViewerServer(frontend=fe)
+    jpeg = v._slam_frame()
+    assert jpeg[:2] == b"\xff\xd8"
+    # overlay path draws landmarks + frusta onto a black render
+    img = np.zeros((64, 128, 3), np.uint8)
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    out = v._draw_map_overlay(img.copy(), R, t, 128, 64)
+    assert out.shape == img.shape and (out != img).any()

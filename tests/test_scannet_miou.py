@@ -113,6 +113,7 @@ def test_miou_above_chance(seg_scene, seg_mapper):
     assert scores["confusion"].sum() > 0
 
 
+@pytest.mark.slow  # shares the trained seg_mapper fixture (minutes on CPU)
 def test_evaluate_scenes_threads_segmentation(tmp_path, monkeypatch,
                                               seg_scene, seg_mapper):
     """evaluate_scenes must actually produce miou/macc when text embeddings

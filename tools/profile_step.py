@@ -92,7 +92,7 @@ def main():
         p = s.params
         sh = jnp.concatenate([p.f_dc, p.f_rest], axis=1)
         return render_arrays(
-            p.xyz, sh, p.lang_feat, jax.nn.sigmoid(p.opacity),
+            p.xyz, sh, p.lang_feat, jax.nn.sigmoid(p.opacity[:, 0]),
             jnp.exp(p.scaling), p.rotation, s.valid, view.world_view,
             view.full_proj, view.cam_center, view.tan_fovx, view.tan_fovy,
             width, height, bg, 3, cfg, binning=binning)
