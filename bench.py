@@ -146,8 +146,12 @@ def main():
                 st, aux = step(st, i + 1, binning=binning)
             else:
                 st, aux = step(st, i + 1)
-            float(aux.loss)  # host sync: axon's block_until_ready alone
-            # has been observed not to force the dispatched chain
+        # host sync ONCE per group, like the production mapper
+        # (loss_sync_interval pipelines dispatch): a per-iteration fetch
+        # would add the ~19 ms tunnel round trip to every step. axon's
+        # block_until_ready alone has been observed not to force the
+        # dispatched chain, hence the value fetch.
+        float(aux.loss)
         times.append((time.perf_counter() - t0) / refresh)
     # median: the axon tunnel intermittently stalls whole seconds per call
     # (service-side; observed 10x degradation over hours with identical

@@ -105,8 +105,16 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     sy = span_y[order]
     v = valid[order]
 
-    # emit pairs over the static span cap
+    # emit pairs over the static span cap, then sort the whole emission
+    # buffer (P * span, ~90% sentinels). Compact-before-sort was tried
+    # twice and measured WORSE on this stack: an 8M-element scatter
+    # compaction ran 1.4 s, and a gather/jnp.repeat enumeration of the
+    # first max_pairs valid pairs ran 124 ms vs the 95 ms flat sort
+    # (scalar 1M-gathers from 256k tables are pathologically slow here).
+    # The flat sort stays; callers amortize it via the per-view binning
+    # cache (mapper binning_refresh_interval).
     msx, msy = cfg.max_span_x, cfg.max_span_y
+    sentinel = ntiles * P
     ox = jnp.arange(msx, dtype=jnp.int32)
     oy = jnp.arange(msy, dtype=jnp.int32)
     tx = x0[:, None, None] + ox[None, None, :]        # [P, 1, msx]
@@ -116,9 +124,8 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     tid = ty * ntx + tx                                # [P, msy, msx]
 
     rank = jnp.arange(P, dtype=jnp.int32)
-    key = jnp.where(in_span, tid * P + rank[:, None, None], ntiles * P)
+    key = jnp.where(in_span, tid * P + rank[:, None, None], sentinel)
     key = key.reshape(-1)
-    sentinel = ntiles * P
     if use_pallas_sort:
         import numpy as np
         from legslam_tpu.ops.pallas.sort import INT32_MAX, sort_keys
@@ -128,24 +135,8 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
                              constant_values=int(INT32_MAX))
         key_sorted = sort_keys(key_padded,
                                interpret=cfg.pallas_interpret)[:n]
-    elif cfg.backend == "pallas" and key.shape[0] > cfg.max_pairs:
-        # compact-before-sort: the emission buffer is P * span entries and
-        # ~90% sentinels (span-capped gaussians emit fewer tiles), so
-        # sorting it whole wastes most of the sort (measured 89 ms at
-        # bench scale). A stable cumsum+scatter compaction into the
-        # max_pairs buffer first makes the sort 8x smaller. Overflow
-        # behavior changes for the better: pairs past max_pairs are now
-        # dropped in DEPTH order (farthest gaussians first, likely
-        # occluded) instead of whole bottom-of-image tiles.
-        validp = key < sentinel
-        pos = jnp.cumsum(validp.astype(jnp.int32)) - 1
-        dst = jnp.where(validp, pos, key.shape[0])  # invalid/overflow drop
-        compact = jnp.full((cfg.max_pairs,), sentinel, jnp.int32) \
-            .at[dst].set(key, mode="drop")
-        key_sorted = jnp.sort(compact)
     else:
         key_sorted = jnp.sort(key)
-
     num_valid = jnp.sum(in_span.astype(jnp.int32))
     # pairs a gaussian would emit beyond the static span cap (the reference
     # never drops pairs — rasterizer_impl.cu:280-320 sizes buffers to

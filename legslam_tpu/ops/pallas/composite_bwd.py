@@ -47,14 +47,16 @@ from legslam_tpu.ops.pallas.composite import (
 LOG_TERM = float(np.log(T_TERMINATE))
 
 
-def _alpha_terms(geo_buf, px, py, start, count, off, chunk):
-    """Recompute per-chunk alpha quantities (shared by both passes)."""
-    gx = geo_buf[GEO_X:GEO_X + 1, :]
-    gy = geo_buf[GEO_Y:GEO_Y + 1, :]
-    ca = geo_buf[GEO_A:GEO_A + 1, :]
-    cb = geo_buf[GEO_B:GEO_B + 1, :]
-    cc = geo_buf[GEO_C:GEO_C + 1, :]
-    op = geo_buf[GEO_OP:GEO_OP + 1, :]
+def _alpha_terms(geo, px, py, start, count, off, chunk):
+    """Recompute per-chunk alpha quantities; `geo` is the loaded
+    [GEO_ROWS, chunk] block (an array, so callers can index a
+    double-buffered ref slot first)."""
+    gx = geo[GEO_X:GEO_X + 1, :]
+    gy = geo[GEO_Y:GEO_Y + 1, :]
+    ca = geo[GEO_A:GEO_A + 1, :]
+    cb = geo[GEO_B:GEO_B + 1, :]
+    cc = geo[GEO_C:GEO_C + 1, :]
+    op = geo[GEO_OP:GEO_OP + 1, :]
     dx = gx - px
     dy = gy - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -92,21 +94,30 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
     # forward output IS the total, so no recomputation pass is needed
     stot = jnp.sum(gout * acc_ref[0], axis=1, keepdims=True)
 
-    def body(geo_buf, feat_buf, dgeo_buf, dfeat_buf, sem):
+    def body(geo_buf, feat_buf, dgeo_buf, dfeat_buf, fsem, rsem, wsem):
+        # all four working buffers are double-buffered ([2, ...]): input
+        # fetch k+1 and accumulator read k+1 fly while chunk k computes —
+        # the serialized version paid ~6 DMA round trips of latency per
+        # chunk (ms-scale per step at bench shapes). Accumulator WRITES
+        # stay synchronous: window k+1's read may start only once write
+        # k-1 on its slot is done, which synchronous writes give for free
+        # (and cross-tile boundary overlaps stay ordered by the sequential
+        # grid).
         # t == 0 zero-initializes the HBM accumulators (outputs are
         # uninitialized memory; all later writes are read-modify-write)
         @pl.when(t == 0)
         def _():
-            dgeo_buf[:] = jnp.zeros_like(dgeo_buf)
-            dfeat_buf[:] = jnp.zeros_like(dfeat_buf)
+            dgeo_buf[0] = jnp.zeros_like(dgeo_buf[0])
+            dfeat_buf[0] = jnp.zeros_like(dfeat_buf[0])
 
             def zero_step(i, _):
                 off = pl.multiple_of(i * chunk, chunk)
                 zg = pltpu.make_async_copy(
-                    dgeo_buf, dgeo_hbm.at[:, pl.ds(off, chunk)], sem.at[0])
+                    dgeo_buf.at[0], dgeo_hbm.at[:, pl.ds(off, chunk)],
+                    wsem.at[0, 0])
                 zf = pltpu.make_async_copy(
-                    dfeat_buf, dfeats_hbm.at[pl.ds(off, chunk), :],
-                    sem.at[1])
+                    dfeat_buf.at[0], dfeats_hbm.at[pl.ds(off, chunk), :],
+                    wsem.at[0, 1])
                 zg.start()
                 zf.start()
                 zg.wait()
@@ -114,17 +125,48 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                 return 0
             jax.lax.fori_loop(0, pairs_pad // chunk, zero_step, 0)
 
-        def fetch(base0, k):
+        def _fetch_pair(base0, k):
             off = pl.multiple_of(base0 + k * chunk, chunk)
+            slot = k % 2
             g = pltpu.make_async_copy(
-                geo_hbm.at[:, pl.ds(off, chunk)], geo_buf, sem.at[0])
+                geo_hbm.at[:, pl.ds(off, chunk)], geo_buf.at[slot],
+                fsem.at[slot, 0])
             f = pltpu.make_async_copy(
-                feats_hbm.at[pl.ds(off, chunk), :], feat_buf, sem.at[1])
+                feats_hbm.at[pl.ds(off, chunk), :], feat_buf.at[slot],
+                fsem.at[slot, 1])
+            return off, g, f
+
+        def _rd_pair(base0, k):
+            off = pl.multiple_of(base0 + k * chunk, chunk)
+            slot = k % 2
+            g = pltpu.make_async_copy(
+                dgeo_hbm.at[:, pl.ds(off, chunk)], dgeo_buf.at[slot],
+                rsem.at[slot, 0])
+            f = pltpu.make_async_copy(
+                dfeats_hbm.at[pl.ds(off, chunk), :], dfeat_buf.at[slot],
+                rsem.at[slot, 1])
+            return off, g, f
+
+        def start_fetch(base0, k):
+            _, g, f = _fetch_pair(base0, k)
             g.start()
             f.start()
+
+        def wait_fetch(base0, k):
+            off, g, f = _fetch_pair(base0, k)
             g.wait()
             f.wait()
             return off
+
+        def start_rd(base0, k):
+            _, g, f = _rd_pair(base0, k)
+            g.start()
+            f.start()
+
+        def wait_rd(base0, k):
+            _, g, f = _rd_pair(base0, k)
+            g.wait()
+            f.wait()
 
         # ---- pass B: per-pair gradients ----
         def bucket_b(bcarry):
@@ -134,10 +176,22 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
           base0 = (start // chunk) * chunk
           n_chunks = (start + count - base0 + chunk - 1) // chunk
 
+          @pl.when(n_chunks > 0)
+          def _():
+              start_fetch(base0, 0)
+              start_rd(base0, 0)
+
           def pass_b(carry):
             k, log_t_all, s_prefix = carry
-            off = fetch(base0, k)
-            a = _alpha_terms(geo_buf, px, py, start, count, off, chunk)
+            slot = k % 2
+            off = wait_fetch(base0, k)
+
+            @pl.when(k + 1 < n_chunks)
+            def _():
+                start_fetch(base0, k + 1)
+
+            a = _alpha_terms(geo_buf[slot], px, py, start, count, off,
+                             chunk)
             alpha = a["alpha"]
             log1m = jnp.log1p(-alpha)
             prefix = _tri_prefix(log1m, uexcl[:], mm_dtype)
@@ -149,7 +203,7 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             # of both) — keep via _mm by passing feat_buf already [chunk, C]
             dw = jax.lax.dot_general(
                 gout.astype(feat_buf.dtype) if mm_dtype == "bfloat16"
-                else gout, feat_buf[:], (((1,), (1,)), ((), ())),
+                else gout, feat_buf[slot], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
             # hi/lo split here too: s_k = stot - incl is a cancelling
@@ -192,28 +246,30 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                 preferred_element_type=jnp.float32)      # [chunk, C]
 
             # read-modify-write accumulation (boundary windows overlap the
-            # neighbouring tile's windows; sequential grid => race-free)
-            rd_g = pltpu.make_async_copy(
-                dgeo_hbm.at[:, pl.ds(off, chunk)], dgeo_buf, sem.at[0])
-            rd_f = pltpu.make_async_copy(
-                dfeats_hbm.at[pl.ds(off, chunk), :], dfeat_buf, sem.at[1])
-            rd_g.start()
-            rd_f.start()
-            rd_g.wait()
-            rd_f.wait()
-            dgeo_buf[:] = dgeo_buf[:] + dgeo_local
+            # neighbouring tile's windows; sequential grid => race-free).
+            # The read was prefetched during chunk k-1's compute.
+            wait_rd(base0, k)
+            dgeo_buf[slot] = dgeo_buf[slot] + dgeo_local
             # bf16 store: adds stay f32 (a window is accumulated at most
             # twice — its own tile + a boundary-overlap neighbour)
-            dfeat_buf[:] = (dfeat_buf[:].astype(jnp.float32)
-                            + dfeat_local).astype(dfeat_buf.dtype)
+            dfeat_buf[slot] = (dfeat_buf[slot].astype(jnp.float32)
+                               + dfeat_local).astype(dfeat_buf.dtype)
             wr_g = pltpu.make_async_copy(
-                dgeo_buf, dgeo_hbm.at[:, pl.ds(off, chunk)], sem.at[0])
+                dgeo_buf.at[slot], dgeo_hbm.at[:, pl.ds(off, chunk)],
+                wsem.at[slot, 0])
             wr_f = pltpu.make_async_copy(
-                dfeat_buf, dfeats_hbm.at[pl.ds(off, chunk), :], sem.at[1])
+                dfeat_buf.at[slot], dfeats_hbm.at[pl.ds(off, chunk), :],
+                wsem.at[slot, 1])
             wr_g.start()
             wr_f.start()
             wr_g.wait()
             wr_f.wait()
+
+            @pl.when(k + 1 < n_chunks)
+            def _():
+                # the other slot's write finished at k-1 (synchronous), so
+                # its accumulator read can fly through chunk k+1's compute
+                start_rd(base0, k + 1)
 
             log_t_all = log_t_all + jnp.sum(log1m, axis=1, keepdims=True)
             s_prefix = s_prefix + jnp.sum(q, axis=1, keepdims=True)
@@ -223,9 +279,16 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             k, log_t_all, _ = carry
             return (k < n_chunks) & (jnp.max(log_t_all) >= LOG_TERM)
 
-          _, log_t_all, s_prefix = jax.lax.while_loop(
+          k_fin, log_t_all, s_prefix = jax.lax.while_loop(
               cond_b, pass_b,
               (jnp.zeros((), jnp.int32), log_t_all0, s_prefix0))
+
+          # early termination leaves fetch/read k_fin in flight — drain so
+          # the semaphores are clean for the next bucket/grid step
+          @pl.when(k_fin < n_chunks)
+          def _():
+              wait_fetch(base0, k_fin)
+              wait_rd(base0, k_fin)
           return b + 1, log_t_all, s_prefix
 
         def bcond_b(bcarry):
@@ -239,11 +302,13 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
 
     pl.run_scoped(
         body,
-        geo_buf=pltpu.VMEM((GEO_ROWS, chunk), jnp.float32),
-        feat_buf=pltpu.VMEM((chunk, c_out), feats_hbm.dtype),
-        dgeo_buf=pltpu.VMEM((GEO_ROWS, chunk), jnp.float32),
-        dfeat_buf=pltpu.VMEM((chunk, c_out), dfeats_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((2,)),
+        geo_buf=pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
+        feat_buf=pltpu.VMEM((2, chunk, c_out), feats_hbm.dtype),
+        dgeo_buf=pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
+        dfeat_buf=pltpu.VMEM((2, chunk, c_out), dfeats_hbm.dtype),
+        fsem=pltpu.SemaphoreType.DMA((2, 2)),
+        rsem=pltpu.SemaphoreType.DMA((2, 2)),
+        wsem=pltpu.SemaphoreType.DMA((2, 2)),
     )
 
 

@@ -54,12 +54,13 @@ def main():
     smoke = os.environ.get("PROF_SMOKE") == "1"
     mm = os.environ.get("PROF_MM_DTYPE", "bfloat16")
     iters = int(os.environ.get("PROF_ITERS", "8"))
+    chunk = int(os.environ.get("PROF_CHUNK", "256"))
     width, height = (320, 192) if smoke else (1200, 680)
     n_points = 20_000 if smoke else 200_000
     capacity = 1 << (15 if smoke else 18)
 
     cfg = RasterizeConfig(tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
-                          chunk=256, backend="pallas",
+                          chunk=chunk, backend="pallas",
                           max_pairs=1 << (16 if smoke else 20), mm_dtype=mm)
     opt = OptimizationParams()
     rng = np.random.default_rng(0)
@@ -96,6 +97,37 @@ def main():
             jnp.exp(p.scaling), p.rotation, s.valid, view.world_view,
             view.full_proj, view.cam_center, view.tan_fovx, view.tan_fovy,
             width, height, bg, 3, cfg, binning=binning)
+
+    from legslam_tpu.ops.pallas.composite import (composite_tiles_pallas,
+                                                  prepare_pairs)
+    from legslam_tpu.ops.projection import preprocess as _pp
+    from legslam_tpu.utils.transforms import normalize_quat
+
+    ntx = -(-width // cfg.tile_w)
+    nty = -(-height // cfg.tile_h)
+
+    @jax.jit
+    def pairs_only(s, binning):
+        p = s.params
+        pre = _pp(p.xyz, jnp.exp(p.scaling), normalize_quat(p.rotation),
+                  s.valid, view.world_view, view.full_proj, width, height,
+                  600.0, 600.0, view.tan_fovx, view.tan_fovy, 1.0)
+        feats = jnp.concatenate(
+            [p.f_dc[:, 0], p.lang_feat, pre.depth[:, None]], -1)
+        if mm == "bfloat16":
+            feats = feats.astype(jnp.bfloat16)
+        start, count, geo, pf = prepare_pairs(
+            binning[0], pre.mean2d, pre.conic,
+            jax.nn.sigmoid(p.opacity[:, 0]), feats, cfg.max_pairs,
+            cfg.chunk)
+        return start, count, geo, pf
+
+    @jax.jit
+    def kernel_only(start, count, geo, pf):
+        acc, tfin = composite_tiles_pallas(
+            start, count, geo, pf, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            ntx=ntx, ntiles=ntx * nty, chunk=cfg.chunk, mm_dtype=mm)
+        return acc[0, 0, 0] + tfin[0, 0, 0]
 
     @jax.jit
     def render_fwd(s, binning):
@@ -134,6 +166,8 @@ def main():
 
     segs = {}
     # warmup (compile) everything first
+    pp_out = jax.block_until_ready(pairs_only(st, binning))
+    float(kernel_only(*pp_out))
     float(render_fwd(st, binning))
     float(render_grad(st, binning))
     float(loss_only(rc, rlf, rd))
@@ -145,6 +179,10 @@ def main():
     fetch = lambda x: float(x)  # noqa: E731
     segs["binning"] = median_time(
         lambda: make_binning(st), lambda b: int(b[0].num_rendered), iters)
+    segs["pair_gathers"] = median_time(
+        lambda: pairs_only(st, binning), lambda o: float(o[2][0, 0]), iters)
+    segs["fwd_kernel"] = median_time(
+        lambda: kernel_only(*pp_out), fetch, iters)
     segs["render_fwd"] = median_time(
         lambda: render_fwd(st, binning), fetch, iters)
     segs["render_grad"] = median_time(
@@ -163,7 +201,8 @@ def main():
         save_peak_memory(os.path.join(trace_dir, "TpuPeakUsageMB.txt"))
 
     print(json.dumps(dict(
-        mm_dtype=mm, width=width, height=height, n_points=n_points,
+        mm_dtype=mm, chunk=chunk, width=width, height=height,
+        n_points=n_points,
         num_rendered=int(binning[0].num_rendered),
         segments_ms={k: round(v * 1e3, 1) for k, v in segs.items()})))
 
