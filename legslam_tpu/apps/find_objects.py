@@ -98,6 +98,12 @@ def run_pixel_space(args, text: np.ndarray) -> None:
     cv2.imwrite(os.path.join(args.out, "best_mask.png"),
                 np.uint8(best_mask) * 255)
 
+    if args.rerun:
+        from legslam_tpu.eval_harness.find_objects import stream_rerun
+        if not stream_rerun(res, scene_points=raw["xyz"]):
+            print("rerun SDK not available — skipped streaming "
+                  "(artifacts on disk carry the same panes)")
+
     if args.video and res.center is not None:
         cam0 = cameras[0]
         w, h = int(cam0["width"]), int(cam0["height"])
@@ -136,6 +142,9 @@ def main(argv=None):
                     help=".npy with a precomputed [64] query embedding")
     ap.add_argument("--out", default="./output/objects")
     ap.add_argument("--video", action="store_true")
+    ap.add_argument("--rerun", action="store_true",
+                    help="stream panes to a rerun.io viewer when the SDK "
+                    "is installed (eval/find_objects.py:404-434)")
     ap.add_argument("--n-views", type=int, default=60)
     ap.add_argument("--radius", type=float, default=1.5)
     ap.add_argument("--width", type=int, default=640)

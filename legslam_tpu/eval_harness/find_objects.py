@@ -312,3 +312,40 @@ def find_objects_in_gaussians(xyz: np.ndarray, lang_feat: np.ndarray,
             score=float(scores[m].mean())))
     out.sort(key=lambda d: -d.n_gaussians)
     return out
+
+
+def stream_rerun(res: "PixelSpaceResult", app_id: str = "legslam_tpu",
+                 scene_points: Optional[np.ndarray] = None,
+                 threshold: float = 0.5) -> bool:
+    """Stream the pixel-space search panes to a rerun.io viewer
+    (eval/find_objects.py:404-434: camera/image + camera/lf_dist +
+    camera/binary_mask + camera/best_semantic_mask per view, plus the
+    sparse scene points). Returns False (no-op) when the `rerun` SDK is
+    not importable — the offline image ships without it; the on-disk
+    heat_*.jpg artifacts carry the same content."""
+    try:
+        import rerun as rr  # type: ignore
+    except ImportError:
+        return False
+    rr.init(app_id, spawn=True)
+    if scene_points is not None:
+        rr.log("world/points", rr.Points3D(scene_points))
+    if res.center is not None:
+        rr.log("world/object_center", rr.Points3D(res.center[None]))
+    best_mask = res.best_mask
+    for idx in range(res.heats.shape[0]):
+        rr.set_time_sequence("view", idx)
+        rr.log("camera/image",
+               rr.Image(np.uint8(np.clip(res.images[idx] * 255, 0, 255)),
+                        color_model="RGB"))
+        rr.log("camera/lf_dist",
+               rr.DepthImage(res.heats[idx], depth_range=(0, 1)))
+        _, binary_mask = find_bboxes(res.heats[idx], threshold=threshold)
+        rr.log("camera/binary_mask",
+               rr.DepthImage(binary_mask.astype(np.float32),
+                             depth_range=(0, 1)))
+        if best_mask is not None:
+            rr.log("camera/best_semantic_mask",
+                   rr.DepthImage(best_mask.astype(np.float32),
+                                 depth_range=(0, 1)))
+    return True

@@ -151,8 +151,14 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     # backend indexes the full range per tile, so it keeps every entry.
     npair = key_sorted.shape[0]
     keep = min(cfg.max_pairs, npair) if cfg.backend == "pallas" else npair
-    pair_rank = key_sorted[:keep] % P
-    pair_gid = order[pair_rank]
+    kk = key_sorted[:keep]
+    pair_rank = kk % P
+    # sentinel pairs get gid = P (out of range): the pair-feature gather
+    # clamps harmlessly (the kernel's in_range mask never reads them), and
+    # the backward scatter-add DROPS them — with gid 0 every sentinel pair
+    # collided on the same row (sentinel % P == 0), serializing up to
+    # hundreds of thousands of zero-adds in the TPU scatter
+    pair_gid = jnp.where(kk < ntiles * P, order[pair_rank], P)
 
     bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * P
     edges = jnp.searchsorted(key_sorted, bounds, side="left").astype(jnp.int32)
@@ -224,8 +230,11 @@ def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
         v, sx * sy - jnp.minimum(sx, msx) * jnp.minimum(sy, msy), 0
     ).astype(jnp.int32))
 
-    pair_rank = (kept % P).reshape(-1)
-    pair_gid = order[pair_rank]
+    kflat = kept.reshape(-1)
+    pair_rank = kflat % P
+    # sentinel pairs -> gid P (see bin_gaussians: gather clamps, scatter
+    # drops; avoids the all-sentinels-collide-on-row-0 scatter hotspot)
+    pair_gid = jnp.where(kflat < sentinel, order[pair_rank], P)
 
     # per-bucket tile ranges; flat offsets add b * cap_b
     bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * P

@@ -198,10 +198,16 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
 
 
 @jax.custom_vjp
-def _chunked_take(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _chunked_take(src: jnp.ndarray, idx: jnp.ndarray,
+                  nvalid: jnp.ndarray) -> jnp.ndarray:
     """Row gather via lax.map chunks: XLA's single big gather both
     compile-hangs and runs slowly on this TPU stack; 64 chunked gathers
     compile fast and run ~4x faster (measured).
+
+    The gather is ROW-RATE-bound (~30 ns/row), so chunks whose start lies
+    past `nvalid` (valid pairs occupy the sorted prefix; the rest are
+    sentinels the kernel never reads) skip the gather entirely via
+    lax.cond and emit zeros — at bench scale that is ~40% of the rows.
 
     Custom VJP: autodiff of the chunked map would scan 64 scatter-adds,
     each carrying the FULL [P, C] accumulator (~17 GB of HBM traffic at
@@ -210,26 +216,122 @@ def _chunked_take(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     n = idx.shape[0]
     n_chunks = 64
     assert n % n_chunks == 0, (n, n_chunks)
-    out = jax.lax.map(lambda ix: src[ix], idx.reshape(n_chunks, -1))
+    rows = n // n_chunks
+
+    def one(args):
+        ix, active = args
+        return jax.lax.cond(
+            active,
+            lambda: src[ix],
+            lambda: jnp.zeros((rows,) + src.shape[1:], src.dtype))
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * rows
+    out = jax.lax.map(one, (idx.reshape(n_chunks, rows),
+                            starts < nvalid))
     return out.reshape((n,) + src.shape[1:])
 
 
-def _chunked_take_fwd(src, idx):
+def _chunked_take_fwd(src, idx, nvalid):
     # src rides along as a residual only to carry its shape/dtype (no copy)
-    return _chunked_take(src, idx), (idx, src)
+    return _chunked_take(src, idx, nvalid), (idx, src)
 
 
 def _chunked_take_bwd(res, g):
     idx, src = res
     # always accumulate the scatter-add in f32: a bf16 store would otherwise
-    # round per-collision (a gaussian has up to span() pair contributions)
+    # round per-collision (a gaussian has up to span() pair contributions).
+    # Sentinel pairs carry gid == P (out of range) and are dropped here
+    # instead of colliding on one row.
     acc = jnp.float32 if src.dtype == jnp.bfloat16 else src.dtype
     dsrc = jnp.zeros(src.shape, acc).at[idx].add(
         g.astype(acc), mode="drop").astype(src.dtype)
-    return dsrc, np.zeros(idx.shape, jax.dtypes.float0)
+    return (dsrc, np.zeros(idx.shape, jax.dtypes.float0),
+            np.zeros((), jax.dtypes.float0))
 
 
 _chunked_take.defvjp(_chunked_take_fwd, _chunked_take_bwd)
+
+
+def _bitcast_f32_to_bf16bits(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., K] f32 -> [..., 2K] bf16 raw halves (no rounding)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint16)      # [..., K, 2]
+    return jax.lax.bitcast_convert_type(
+        u.reshape(x.shape[:-1] + (2 * x.shape[-1],)), jnp.bfloat16)
+
+
+def _bitcast_bf16bits_to_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., 2K] bf16 raw halves -> [..., K] f32 (exact inverse)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint16)
+    return jax.lax.bitcast_convert_type(
+        u.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2)), jnp.float32)
+
+
+@jax.custom_vjp
+def _take_pairs(feats: jnp.ndarray, geo_g: jnp.ndarray, idx: jnp.ndarray,
+                nvalid: jnp.ndarray):
+    """Gather pair features AND geometry in ONE row gather.
+
+    The TPU gather engine is ROW-RATE-bound (~40 ns/row measured: an
+    8-wide f32 gather costs the same as a 128-wide bf16 one), so fusing
+    the [P, 8] geometry rows into the feature rows — as raw bf16 halves
+    when feats are bf16, plain f32 lanes otherwise — halves the gather
+    cost vs two separate takes. The custom VJP likewise runs ONE merged
+    scatter-add (f32 accumulation) instead of two row-rate-bound ones.
+
+    Returns (pf [N, C], geo [N, 8] f32).
+    """
+    c = feats.shape[1]
+    if feats.dtype == jnp.bfloat16:
+        packed = jnp.concatenate(
+            [feats, _bitcast_f32_to_bf16bits(geo_g)], axis=1)
+    else:
+        packed = jnp.concatenate([feats, geo_g], axis=1)
+    out = _chunked_take_raw(packed, idx, nvalid)
+    pf = out[:, :c]
+    if feats.dtype == jnp.bfloat16:
+        geo = _bitcast_bf16bits_to_f32(out[:, c:])
+    else:
+        geo = out[:, c:]
+    return pf, geo
+
+
+def _chunked_take_raw(src, idx, nvalid):
+    """The cond-skipped chunked gather without the VJP wrapper."""
+    n = idx.shape[0]
+    n_chunks = 64
+    assert n % n_chunks == 0, (n, n_chunks)
+    rows = n // n_chunks
+
+    def one(args):
+        ix, active = args
+        return jax.lax.cond(
+            active,
+            lambda: src[ix],
+            lambda: jnp.zeros((rows,) + src.shape[1:], src.dtype))
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * rows
+    out = jax.lax.map(one, (idx.reshape(n_chunks, rows), starts < nvalid))
+    return out.reshape((n,) + src.shape[1:])
+
+
+def _take_pairs_fwd(feats, geo_g, idx, nvalid):
+    return _take_pairs(feats, geo_g, idx, nvalid), (idx, feats, geo_g)
+
+
+def _take_pairs_bwd(res, cots):
+    idx, feats, geo_g = res
+    gpf, ggeo = cots
+    c = feats.shape[1]
+    gm = jnp.concatenate([gpf.astype(jnp.float32),
+                          ggeo.astype(jnp.float32)], axis=1)
+    acc = jnp.zeros((feats.shape[0], c + geo_g.shape[1]), jnp.float32) \
+        .at[idx].add(gm, mode="drop")
+    return (acc[:, :c].astype(feats.dtype), acc[:, c:],
+            np.zeros(idx.shape, jax.dtypes.float0),
+            np.zeros((), jax.dtypes.float0))
+
+
+_take_pairs.defvjp(_take_pairs_fwd, _take_pairs_bwd)
 
 
 def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
@@ -248,27 +350,32 @@ def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
     """
     if n_buckets > 1:
         # BucketedBinning: pair_gid already capped per bucket; ranges are
-        # flat [ntiles, B] -> [ntiles*B]
+        # flat [ntiles, B] -> [ntiles*B]. Valid pairs are per-bucket
+        # prefixes, not one global prefix — no chunk skipping.
         gid = binning.pair_gid
         start = binning.tile_start.reshape(-1).astype(jnp.int32)
         count = binning.tile_count.reshape(-1).astype(jnp.int32)
+        nvalid = jnp.asarray(gid.shape[0], jnp.int32)
     else:
         gid = binning.pair_gid[:max_pairs]
         start = jnp.minimum(binning.tile_start, max_pairs).astype(jnp.int32)
         end = jnp.minimum(binning.tile_start + binning.tile_count, max_pairs)
         count = (end - start).astype(jnp.int32)
+        nvalid = jnp.minimum(binning.num_rendered,
+                             max_pairs).astype(jnp.int32)
 
-    # per-gaussian packed geometry rows, gathered per pair then transposed
+    # per-gaussian packed geometry rows, fused into the SAME row gather as
+    # the features (row-rate-bound engine: one wide gather ~= half of two)
     zeros = jnp.zeros_like(opacity)
     geo_g = jnp.stack([mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1],
                        conic[:, 2], opacity, zeros, zeros], axis=1)  # [P, 8]
-    geo = _chunked_take(geo_g, gid).T                     # [8, max_pairs]
 
     c = feats.shape[1]
     c_pad = -(-c // 128) * 128  # lane-tile alignment for the HBM DMA slices
     if c_pad != c:
         feats = jnp.pad(feats, ((0, 0), (0, c_pad - c)))
-    pf = _chunked_take(feats, gid)                        # [max_pairs, 128]
+    pf, geo_rows = _take_pairs(feats, geo_g, gid, nvalid)
+    geo = geo_rows.T                                      # [8, max_pairs]
     return start, count, geo, pf
 
 

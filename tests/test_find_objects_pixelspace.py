@@ -132,3 +132,25 @@ def test_global_inversion():
     inv = global_inverted_similarity(cos)
     assert inv.max() == 1.0 and inv.min() == 0.0
     assert inv[0].min() == 1.0  # most-negative cos -> hottest
+
+
+def test_stream_rerun_graceful_without_sdk():
+    """stream_rerun no-ops (returns False) when the rerun SDK is missing —
+    the offline image ships without it (eval/find_objects.py:404-434)."""
+    import numpy as np
+
+    from legslam_tpu.eval_harness import find_objects as F
+
+    res = F.PixelSpaceResult(
+        best_frame=0, center=np.zeros(3),
+        heats=np.random.rand(2, 8, 8).astype(np.float32),
+        best_mask=np.ones((8, 8), bool),
+        images=np.random.rand(2, 8, 8, 3).astype(np.float32),
+        depths=np.ones((2, 8, 8), np.float32),
+        viewpoints=np.zeros((0, 3), np.float32))
+    try:
+        import rerun  # noqa: F401
+        expected = True
+    except ImportError:
+        expected = False
+    assert F.stream_rerun(res, scene_points=np.zeros((4, 3))) is expected
