@@ -48,6 +48,9 @@ def main(argv=None):
     parser.add_argument("--tile-batch", type=int, default=32)
     parser.add_argument("--backend", default=None,
                         help="override compositing backend (xla|pallas)")
+    parser.add_argument("--mm-dtype", default=None,
+                        help="MXU input dtype for the pallas kernels "
+                        "(bfloat16|float32; default bfloat16 on pallas)")
     parser.add_argument("--binning-refresh", type=int, default=1,
                         help="per-view binning cache interval (1 = exact)")
     parser.add_argument("--profile-dir", default=None,
@@ -68,7 +71,11 @@ def main(argv=None):
     enable_compilation_cache()
     backend = args.backend or (
         "pallas" if _jax.default_backend() not in ("cpu",) else "xla")
-    cfg = RasterizeConfig(backend=backend, tile_batch=args.tile_batch)
+    # bf16 MXU inputs by default on the kernel path: measured color max err
+    # 4e-3, grad cos 0.999997 vs exact f32 (tests/test_mm_dtype.py)
+    mm = args.mm_dtype or ("bfloat16" if backend == "pallas" else "float32")
+    cfg = RasterizeConfig(backend=backend, tile_batch=args.tile_batch,
+                          mm_dtype=mm)
     opt = mp = None
     cam_intr = None
     if args.cfg:

@@ -143,6 +143,15 @@ def main():
         val, g = jax.value_and_grad(f)(s.params)
         return val + g.xyz[0, 0]
 
+    from legslam_tpu.mapper.train_step import make_lrs
+    from legslam_tpu.models import gaussians as G
+
+    @jax.jit
+    def adam_stats_only(s, g, m2, radii):
+        s = G.add_densification_stats(s, m2, radii)
+        s = G.adam_update(s, g, make_lrs(opt, 1.0, jnp.asarray(0.0)))
+        return s.params.xyz[0, 0] + s.stats.grad_accum[0]
+
     @jax.jit
     def loss_only(c, lf, d):
         def f(c):
@@ -166,6 +175,10 @@ def main():
 
     segs = {}
     # warmup (compile) everything first
+    g_fake = jax.tree.map(lambda x: x * 1e-4, st.params)
+    m2_fake = jnp.zeros((capacity, 2), jnp.float32)
+    r_fake = jnp.ones((capacity,), jnp.int32)
+    float(adam_stats_only(st, g_fake, m2_fake, r_fake))
     pp_out = jax.block_until_ready(pairs_only(st, binning))
     float(kernel_only(*pp_out))
     float(render_fwd(st, binning))
@@ -188,6 +201,8 @@ def main():
     segs["render_grad"] = median_time(
         lambda: render_grad(st, binning), fetch, iters)
     segs["loss"] = median_time(lambda: loss_only(rc, rlf, rd), fetch, iters)
+    segs["adam_stats"] = median_time(
+        lambda: adam_stats_only(st, g_fake, m2_fake, r_fake), fetch, iters)
     segs["step_cached"] = median_time(
         lambda: step(st, binning), lambda o: float(o[1].loss), iters)
     segs["step_fresh"] = median_time(
