@@ -40,7 +40,7 @@ def main():
     # per-view tile-binning refresh interval (mapper binning_refresh_interval
     # knob): the sort-dominated prep pipeline is recomputed every N-th
     # iteration of a view and reused otherwise. 1 = exact per-step binning.
-    refresh = int(os.environ.get("BENCH_BINNING_REFRESH", "4"))
+    refresh = int(os.environ.get("BENCH_BINNING_REFRESH", "8"))
     variant = os.environ.get("BENCH_VARIANT", "mapping")
     width, height = (320, 192) if smoke else (1200, 680)
     n_points = 20_000 if smoke else 200_000

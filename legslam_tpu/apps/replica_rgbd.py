@@ -51,7 +51,7 @@ def main(argv=None):
     parser.add_argument("--mm-dtype", default=None,
                         help="MXU input dtype for the pallas kernels "
                         "(bfloat16|float32; default bfloat16 on pallas)")
-    parser.add_argument("--binning-refresh", type=int, default=1,
+    parser.add_argument("--binning-refresh", type=int, default=4,
                         help="per-view binning cache interval (1 = exact)")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace of the mapping "

@@ -131,3 +131,66 @@ def evaluate_scenes(data_root: str, out_root: str, scenes: Sequence[str],
                 macc=float(np.mean([r["macc"] for r in results])))))
                 + "\n")
     return results
+
+
+def _label_palette(num_classes: int) -> np.ndarray:
+    """[num_classes, 3] uint8 palette; class 0 (reject/unlabeled) black.
+    Deterministic golden-angle hues (role of metric_utils.py's color table;
+    values intentionally our own)."""
+    cols = np.zeros((num_classes, 3), np.uint8)
+    for c in range(1, num_classes):
+        h = (c * 0.61803398875) % 1.0
+        i = int(h * 6.0)
+        f = h * 6.0 - i
+        v, p, q, t = 255, 64, int(255 - 191 * f), int(64 + 191 * f)
+        rgb = [(v, t, p), (q, v, p), (p, v, t),
+               (p, q, v), (t, p, v), (v, p, q)][i % 6]
+        cols[c] = rgb
+    return cols
+
+
+def create_comparison_video(mapper, text_embs: np.ndarray, gt_label_loader,
+                            frame_ids, out_path: str,
+                            reject_threshold: float = 0.7,
+                            fps: int = 10) -> Optional[str]:
+    """2x2 comparison video per keyframe: [pred color | gt color] over
+    [pred labelmap | gt labelmap] (eval/scannet_test.py:397-470's
+    comparison grid as a single artifact). Returns the mp4 path, or None
+    when cv2/video IO is unavailable."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        return None
+    os.makedirs(out_path, exist_ok=True)
+    palette = _label_palette(len(text_embs) + 1)
+    vw = None
+    video_path = os.path.join(out_path, "comparison.mp4")
+    for fid in sorted(frame_ids):
+        kf = mapper.keyframes.get(fid)
+        if kf is None:
+            continue
+        out = mapper.render_from_pose(
+            kf.R, kf.t, kf.views[-1].width, kf.views[-1].height,
+            include_lang_feat=True)
+        pred_rgb = np.uint8(np.clip(np.asarray(out.color), 0, 1) * 255)
+        gt_rgb = np.uint8(np.clip(np.asarray(kf.gt_color[-1]), 0, 1) * 255)
+        pred_lab = metrics.segment_prediction(
+            np.asarray(out.lang_feat), text_embs, reject_threshold)
+        gt = gt_label_loader(fid)
+        if gt.shape != pred_lab.shape:
+            gt = cv2.resize(gt.astype(np.int32),
+                            (pred_lab.shape[1], pred_lab.shape[0]),
+                            interpolation=cv2.INTER_NEAREST)
+        top = np.hstack([pred_rgb, gt_rgb])
+        bot = np.hstack([palette[np.clip(pred_lab, 0, len(palette) - 1)],
+                         palette[np.clip(gt, 0, len(palette) - 1)]])
+        frame = cv2.cvtColor(np.vstack([top, bot]), cv2.COLOR_RGB2BGR)
+        if vw is None:
+            vw = cv2.VideoWriter(video_path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                 (frame.shape[1], frame.shape[0]))
+        vw.write(frame)
+    if vw is None:
+        return None
+    vw.release()
+    return video_path

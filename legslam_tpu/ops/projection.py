@@ -10,6 +10,12 @@ Behavioral parity with cuda_rasterizer/forward.cu:
 Everything is batched over the capacity-padded Gaussian axis; invalid /
 culled gaussians are reported through the returned mask (radius stays 0),
 mirroring the reference's early-return convention (forward.cu:186-244).
+
+LAYOUT NOTE (TPU): all math here runs on UNPACKED [P] column vectors, not
+[P, 3]/[P, 2, 3] batched-tiny-matrix ops — a trailing dim of 2-4 lands in
+the 128-wide lane dimension and wastes 125/128 VPU lanes. The columnar
+form measured ~10x faster fwd+grad at 262k gaussians (same finding as the
+flattened Adam in models/gaussians.py).
 """
 from __future__ import annotations
 
@@ -25,7 +31,6 @@ from legslam_tpu.config import (
     VIEW_CLAMP,
 )
 from legslam_tpu.utils.camera import ndc2pix
-from legslam_tpu.utils.transforms import build_cov3d
 
 
 class Preprocessed(NamedTuple):
@@ -39,13 +44,95 @@ class Preprocessed(NamedTuple):
 def project_points(means3d: jnp.ndarray, full_proj: jnp.ndarray,
                    width: int, height: int):
     """Project world points to pixel coords. Returns (pix[P,2], ndc_z[P], w)."""
-    ones = jnp.ones_like(means3d[..., :1])
-    hom = jnp.concatenate([means3d, ones], -1) @ full_proj.T
-    p_w = 1.0 / (hom[..., 3] + PROJ_W_EPS)
-    ndc = hom[..., :3] * p_w[..., None]
-    pix = jnp.stack(
-        [ndc2pix(ndc[..., 0], width), ndc2pix(ndc[..., 1], height)], -1)
-    return pix, ndc[..., 2], p_w
+    x, y, z = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    fp = full_proj
+    hx = fp[0, 0] * x + fp[0, 1] * y + fp[0, 2] * z + fp[0, 3]
+    hy = fp[1, 0] * x + fp[1, 1] * y + fp[1, 2] * z + fp[1, 3]
+    hz = fp[2, 0] * x + fp[2, 1] * y + fp[2, 2] * z + fp[2, 3]
+    hw = fp[3, 0] * x + fp[3, 1] * y + fp[3, 2] * z + fp[3, 3]
+    p_w = 1.0 / (hw + PROJ_W_EPS)
+    pix = jnp.stack([ndc2pix(hx * p_w, width), ndc2pix(hy * p_w, height)],
+                    -1)
+    return pix, hz * p_w, p_w
+
+
+def _cov3d_cols(scales: jnp.ndarray, quats: jnp.ndarray,
+                scale_modifier: float):
+    """Columnar Sigma = (R diag(s)) (R diag(s))^T (forward.cu:120-153).
+    scales [P,3], quats [P,4] wxyz (normalized) -> 6 [P] columns
+    (xx, xy, xz, yy, yz, zz)."""
+    w, qx, qy, qz = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    # normalize columnar (the old quat_to_rotmat normalized inside; keep
+    # that contract even though render callers already normalize)
+    inv_n = 1.0 / jnp.sqrt(w * w + qx * qx + qy * qy + qz * qz).clip(1e-12)
+    w, qx, qy, qz = w * inv_n, qx * inv_n, qy * inv_n, qz * inv_n
+    sx = scales[:, 0] * scale_modifier
+    sy = scales[:, 1] * scale_modifier
+    sz = scales[:, 2] * scale_modifier
+    # rotation entries (general_utils.h:29 layout)
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - w * qz)
+    r02 = 2 * (qx * qz + w * qy)
+    r10 = 2 * (qx * qy + w * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - w * qx)
+    r20 = 2 * (qx * qz - w * qy)
+    r21 = 2 * (qy * qz + w * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    # M = R diag(s)
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+    xx = m00 * m00 + m01 * m01 + m02 * m02
+    xy = m00 * m10 + m01 * m11 + m02 * m12
+    xz = m00 * m20 + m01 * m21 + m02 * m22
+    yy = m10 * m10 + m11 * m11 + m12 * m12
+    yz = m10 * m20 + m11 * m21 + m12 * m22
+    zz = m20 * m20 + m21 * m21 + m22 * m22
+    return xx, xy, xz, yy, yz, zz
+
+
+def _cov2d_cols(x, y, z, cov6, world_view, focal_x, focal_y,
+                tan_fovx, tan_fovy, in_front):
+    """Columnar EWA cov2d (forward.cu:74-112). cov6 = 6 [P] columns.
+    Returns (c00, c01, c11) [P] columns with the +0.3 low-pass applied."""
+    wv = world_view
+    tx = wv[0, 0] * x + wv[0, 1] * y + wv[0, 2] * z + wv[0, 3]
+    ty = wv[1, 0] * x + wv[1, 1] * y + wv[1, 2] * z + wv[1, 3]
+    tz = wv[2, 0] * x + wv[2, 1] * y + wv[2, 2] * z + wv[2, 3]
+    tz = jnp.where(in_front, tz, 1.0)
+    limx = VIEW_CLAMP * tan_fovx
+    limy = VIEW_CLAMP * tan_fovy
+    tx = jnp.clip(tx / tz, -limx, limx) * tz
+    ty = jnp.clip(ty / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J rows: [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
+    # T = J @ Rw2c (2x3, per-gaussian scalars x world_view row constants)
+    t00 = j00 * wv[0, 0] + j02 * wv[2, 0]
+    t01 = j00 * wv[0, 1] + j02 * wv[2, 1]
+    t02 = j00 * wv[0, 2] + j02 * wv[2, 2]
+    t10 = j11 * wv[1, 0] + j12 * wv[2, 0]
+    t11 = j11 * wv[1, 1] + j12 * wv[2, 1]
+    t12 = j11 * wv[1, 2] + j12 * wv[2, 2]
+
+    xx, xy, xz, yy, yz, zz = cov6
+    # V @ T^T columns (symmetric V), then T @ (V T^T)
+    v0a = xx * t00 + xy * t01 + xz * t02
+    v1a = xy * t00 + yy * t01 + yz * t02
+    v2a = xz * t00 + yz * t01 + zz * t02
+    v0b = xx * t10 + xy * t11 + xz * t12
+    v1b = xy * t10 + yy * t11 + yz * t12
+    v2b = xz * t10 + yz * t11 + zz * t12
+    c00 = t00 * v0a + t01 * v1a + t02 * v2a + COV2D_LOWPASS
+    c01 = t10 * v0a + t11 * v1a + t12 * v2a
+    c11 = t10 * v0b + t11 * v1b + t12 * v2b + COV2D_LOWPASS
+    return c00, c01, c11
 
 
 def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray,
@@ -54,38 +141,17 @@ def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray,
                   valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """EWA splatting 2D covariance, packed [P, 3] = (xx, xy, yy).
 
-    cov2d = J @ Rw2c @ Vrk @ Rw2c^T @ J^T with the view-space xy clamp and the
-    +0.3 diagonal low-pass (forward.cu:74-112). `valid` guards divisions by a
-    non-positive view z for culled points (keeps values AND grads finite; the
-    guarded lanes are masked out downstream).
-    """
-    t = means3d @ world_view[:3, :3].T + world_view[:3, 3]
-    tz = t[..., 2]
-    if valid is not None:
-        tz = jnp.where(valid, tz, 1.0)
-    limx = VIEW_CLAMP * tan_fovx
-    limy = VIEW_CLAMP * tan_fovy
-    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
-
-    # J rows: [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]
-    inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
-         jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1)], -2)
-    T = J @ world_view[:3, :3]  # [P, 2, 3]
-
-    xx, xy, xz, yy, yz, zz = (cov3d[..., i] for i in range(6))
-    V = jnp.stack(
-        [jnp.stack([xx, xy, xz], -1),
-         jnp.stack([xy, yy, yz], -1),
-         jnp.stack([xz, yz, zz], -1)], -2)
-    cov = T @ V @ jnp.swapaxes(T, -1, -2)  # [P, 2, 2]
-    return jnp.stack(
-        [cov[..., 0, 0] + COV2D_LOWPASS, cov[..., 0, 1],
-         cov[..., 1, 1] + COV2D_LOWPASS], -1)
+    cov2d = J @ Rw2c @ Vrk @ Rw2c^T @ J^T with the view-space xy clamp and
+    the +0.3 diagonal low-pass (forward.cu:74-112). `valid` guards divisions
+    by a non-positive view z for culled points (keeps values AND grads
+    finite; the guarded lanes are masked out downstream)."""
+    in_front = jnp.ones(means3d.shape[0], bool) if valid is None else valid
+    cov6 = tuple(cov3d[:, i] for i in range(6))
+    c00, c01, c11 = _cov2d_cols(
+        means3d[:, 0], means3d[:, 1], means3d[:, 2], cov6, world_view,
+        focal_x, focal_y, tan_fovx, tan_fovy, in_front)
+    # note: callers receive the low-pass already applied
+    return jnp.stack([c00, c01, c11], -1)
 
 
 def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
@@ -95,27 +161,28 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
                tan_fovy: float, scale_modifier: float = 1.0,
                cov3d_precomp: jnp.ndarray | None = None) -> Preprocessed:
     """Vectorized equivalent of preprocessCUDA (forward.cu:156-256)."""
-    view_z = means3d @ world_view[2, :3] + world_view[2, 3]
+    x, y, z = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    wv = world_view
+    view_z = wv[2, 0] * x + wv[2, 1] * y + wv[2, 2] * z + wv[2, 3]
     in_front = view_z > NEAR_CLIP
 
     if cov3d_precomp is None:
-        cov3d = build_cov3d(scales, quats, scale_modifier)
+        cov6 = _cov3d_cols(scales, quats, scale_modifier)
     else:
-        cov3d = cov3d_precomp
+        cov6 = tuple(cov3d_precomp[:, i] for i in range(6))
 
-    cov2d = compute_cov2d(
-        means3d, cov3d, world_view, focal_x, focal_y, tan_fovx, tan_fovy,
-        valid=in_front)
-    cov2d = jnp.where(in_front[..., None], cov2d, 1.0)
+    c00, c01, c11 = _cov2d_cols(x, y, z, cov6, world_view, focal_x,
+                                focal_y, tan_fovx, tan_fovy, in_front)
+    c00 = jnp.where(in_front, c00, 1.0)
+    c01 = jnp.where(in_front, c01, 1.0)
+    c11 = jnp.where(in_front, c11, 1.0)
 
-    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] ** 2
+    det = c00 * c11 - c01 * c01
     det_valid = det != 0.0
     det_inv = 1.0 / jnp.where(det_valid, det, 1.0)
-    conic = jnp.stack(
-        [cov2d[..., 2] * det_inv, -cov2d[..., 1] * det_inv,
-         cov2d[..., 0] * det_inv], -1)
+    conic = jnp.stack([c11 * det_inv, -c01 * det_inv, c00 * det_inv], -1)
 
-    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    mid = 0.5 * (c00 + c11)
     disc = jnp.sqrt(jnp.maximum(RADIUS_EIG_GUARD, mid * mid - det))
     lam_max = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))

@@ -27,6 +27,31 @@ def sh_to_rgb(sh: jnp.ndarray) -> jnp.ndarray:
     return sh * SH_C0 + 0.5
 
 
+def _sh_basis_cols(deg: int, x, y, z) -> list:
+    """Columnar SH basis values b_k as [P] vectors (auxiliary.h:21-38
+    constants, forward.cu:31-65 expansion order)."""
+    basis = [jnp.full_like(x, SH_C0)]
+    if deg > 0:
+        basis += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            basis += [SH_C2[0] * xy, SH_C2[1] * yz,
+                      SH_C2[2] * (2.0 * zz - xx - yy), SH_C2[3] * xz,
+                      SH_C2[4] * (xx - yy)]
+            if deg > 2:
+                basis += [
+                    SH_C3[0] * y * (3.0 * xx - yy),
+                    SH_C3[1] * xy * z,
+                    SH_C3[2] * y * (4.0 * zz - xx - yy),
+                    SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                    SH_C3[4] * x * (4.0 * zz - xx - yy),
+                    SH_C3[5] * z * (xx - yy),
+                    SH_C3[6] * x * (xx - 3.0 * yy),
+                ]
+    return basis
+
+
 def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH colors for unit directions.
 
@@ -36,7 +61,17 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
       dirs: [..., 3] unit view directions.
 
     Returns [..., 3] raw colors (before the +0.5 / clamp of the full path).
+
+    The P-batched [P, K, 3] case runs columnar — basis values and the
+    K-reduction as [P] vector ops — because [P, 3]-shaped terms put the
+    3-wide channel axis in the 128-lane dimension (see ops/projection.py
+    layout note; measured ~10x there).
     """
+    if sh.ndim == 3 and dirs.ndim == 2:
+        basis = _sh_basis_cols(deg, dirs[:, 0], dirs[:, 1], dirs[:, 2])
+        chans = [sum(b * sh[:, k, c] for k, b in enumerate(basis))
+                 for c in range(3)]
+        return jnp.stack(chans, -1)
     result = SH_C0 * sh[..., 0, :]
     if deg > 0:
         x = dirs[..., 0:1]

@@ -144,3 +144,16 @@ def test_evaluate_scenes_threads_segmentation(tmp_path, monkeypatch,
     assert 0.0 <= r["miou"] <= 1.0
     log = (tmp_path / "out" / "eval_result_legslam_tpu.log").read_text()
     assert "miou" in log
+
+
+@pytest.mark.slow
+def test_comparison_video(tmp_path, seg_scene, seg_mapper):
+    """2x2 comparison artifact (eval/scannet_test.py:397-470 grid)."""
+    pytest.importorskip("cv2")
+    _, _, labels = seg_scene
+    path = scannet_eval.create_comparison_video(
+        seg_mapper, TEXT_EMBS, lambda fid: labels[fid],
+        sorted(seg_mapper.keyframes), str(tmp_path / "vid"),
+        reject_threshold=0.55)
+    import os
+    assert path is not None and os.path.getsize(path) > 1000

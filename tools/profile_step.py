@@ -107,6 +107,27 @@ def main():
     nty = -(-height // cfg.tile_h)
 
     @jax.jit
+    def preprocess_only(s):
+        p = s.params
+        pre = _pp(p.xyz, jnp.exp(p.scaling), normalize_quat(p.rotation),
+                  s.valid, view.world_view, view.full_proj, width, height,
+                  600.0, 600.0, view.tan_fovx, view.tan_fovy, 1.0)
+        return (pre.mean2d[0, 0] + pre.conic[0, 0] + pre.depth[0]
+                + pre.radius[0])
+
+    @jax.jit
+    def preprocess_grad(s):
+        def f(xyz, scaling, rotation):
+            pre = _pp(xyz, jnp.exp(scaling), normalize_quat(rotation),
+                      s.valid, view.world_view, view.full_proj, width,
+                      height, 600.0, 600.0, view.tan_fovx, view.tan_fovy,
+                      1.0)
+            return jnp.sum(pre.mean2d * 1e-3) + jnp.sum(pre.conic * 1e-3)
+        g = jax.grad(f, argnums=(0, 1, 2))(s.params.xyz, s.params.scaling,
+                                           s.params.rotation)
+        return g[0][0, 0] + g[1][0, 0] + g[2][0, 0]
+
+    @jax.jit
     def pairs_only(s, binning):
         p = s.params
         pre = _pp(p.xyz, jnp.exp(p.scaling), normalize_quat(p.rotation),
@@ -128,6 +149,23 @@ def main():
             start, count, geo, pf, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
             ntx=ntx, ntiles=ntx * nty, chunk=cfg.chunk, mm_dtype=mm)
         return acc[0, 0, 0] + tfin[0, 0, 0]
+
+    from legslam_tpu.ops.pallas.composite_bwd import (
+        composite_backward_pallas)
+
+    @jax.jit
+    def bwd_kernel_only(start, count, geo, pf, gout, gtfin, tfin, acc):
+        dgeo, dfeats = composite_backward_pallas(
+            start, count, geo, pf, gout, gtfin, tfin, acc,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h, ntx=ntx,
+            ntiles=ntx * nty, chunk=cfg.chunk, mm_dtype=mm)
+        return dgeo[0, 0] + dfeats[0, 0].astype(jnp.float32)
+
+    @jax.jit
+    def scatter_only(gid, gm):
+        acc = jnp.zeros((capacity, gm.shape[1]), jnp.float32) \
+            .at[gid].add(gm, mode="drop")
+        return acc[0, 0]
 
     @jax.jit
     def render_fwd(s, binning):
@@ -179,8 +217,19 @@ def main():
     m2_fake = jnp.zeros((capacity, 2), jnp.float32)
     r_fake = jnp.ones((capacity,), jnp.int32)
     float(adam_stats_only(st, g_fake, m2_fake, r_fake))
+    float(preprocess_only(st))
+    float(preprocess_grad(st))
     pp_out = jax.block_until_ready(pairs_only(st, binning))
     float(kernel_only(*pp_out))
+    npix = cfg.tile_h * cfg.tile_w
+    c_out = pp_out[3].shape[1]
+    gout_f = jnp.ones((ntx * nty, npix, c_out), jnp.float32) * 1e-3
+    g1_f = jnp.ones((ntx * nty, npix, 1), jnp.float32)
+    float(bwd_kernel_only(*pp_out, gout_f, g1_f * 1e-3, g1_f * 0.5,
+                          gout_f))
+    gid_f = jnp.asarray(rng.integers(0, n_points, cfg.max_pairs), jnp.int32)
+    gm_f = jnp.asarray(rng.normal(size=(cfg.max_pairs, 136)), jnp.float32)
+    float(scatter_only(gid_f, gm_f))
     float(render_fwd(st, binning))
     float(render_grad(st, binning))
     float(loss_only(rc, rlf, rd))
@@ -192,10 +241,19 @@ def main():
     fetch = lambda x: float(x)  # noqa: E731
     segs["binning"] = median_time(
         lambda: make_binning(st), lambda b: int(b[0].num_rendered), iters)
+    segs["preprocess"] = median_time(
+        lambda: preprocess_only(st), fetch, iters)
+    segs["preprocess_grad"] = median_time(
+        lambda: preprocess_grad(st), fetch, iters)
     segs["pair_gathers"] = median_time(
         lambda: pairs_only(st, binning), lambda o: float(o[2][0, 0]), iters)
     segs["fwd_kernel"] = median_time(
         lambda: kernel_only(*pp_out), fetch, iters)
+    segs["bwd_kernel"] = median_time(
+        lambda: bwd_kernel_only(*pp_out, gout_f, g1_f * 1e-3, g1_f * 0.5,
+                                gout_f), fetch, iters)
+    segs["scatter"] = median_time(
+        lambda: scatter_only(gid_f, gm_f), fetch, iters)
     segs["render_fwd"] = median_time(
         lambda: render_fwd(st, binning), fetch, iters)
     segs["render_grad"] = median_time(
