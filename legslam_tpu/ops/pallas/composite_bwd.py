@@ -40,7 +40,6 @@ from legslam_tpu.ops.pallas.composite import (
     GEO_X,
     GEO_Y,
     _mm,
-    _tri_prefix,
     composite_tiles_pallas,
 )
 
@@ -68,15 +67,17 @@ def _alpha_terms(geo, px, py, start, count, off, chunk):
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
     keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
     alpha = jnp.where(keep, alpha, 0.0)
-    return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, g_exp=g_exp,
-                alpha=alpha, keep=keep)
+    return dict(dx=dx, dy=dy, gx=gx, gy=gy, ca=ca, cb=cb, cc=cc, op=op,
+                g_exp=g_exp, alpha=alpha, keep=keep)
 
 
 def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                      gout_ref, gtfin_ref, tfin_ref, acc_ref, uexcl, uincl,
+                     dgeo0_hbm, dfeats0_hbm,
                      dgeo_hbm, dfeats_hbm, *, chunk: int, tile_w: int,
                      tile_h: int, ntx: int, c_out: int, pairs_pad: int,
                      n_buckets: int, mm_dtype: str = "float32"):
+    del dgeo0_hbm, dfeats0_hbm  # zero inputs aliased onto the outputs
     t = pl.program_id(0)
     npix = tile_h * tile_w
 
@@ -103,27 +104,10 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
         # k-1 on its slot is done, which synchronous writes give for free
         # (and cross-tile boundary overlaps stay ordered by the sequential
         # grid).
-        # t == 0 zero-initializes the HBM accumulators (outputs are
-        # uninitialized memory; all later writes are read-modify-write)
-        @pl.when(t == 0)
-        def _():
-            dgeo_buf[0] = jnp.zeros_like(dgeo_buf[0])
-            dfeat_buf[0] = jnp.zeros_like(dfeat_buf[0])
-
-            def zero_step(i, _):
-                off = pl.multiple_of(i * chunk, chunk)
-                zg = pltpu.make_async_copy(
-                    dgeo_buf.at[0], dgeo_hbm.at[:, pl.ds(off, chunk)],
-                    wsem.at[0, 0])
-                zf = pltpu.make_async_copy(
-                    dfeat_buf.at[0], dfeats_hbm.at[pl.ds(off, chunk), :],
-                    wsem.at[0, 1])
-                zg.start()
-                zf.start()
-                zg.wait()
-                zf.wait()
-                return 0
-            jax.lax.fori_loop(0, pairs_pad // chunk, zero_step, 0)
+        # the HBM grad accumulators arrive ZEROED from XLA via
+        # input_output_aliasing (a fused fill) — zeroing them here took
+        # ~4k serial DMA round trips in the t == 0 program, a fixed
+        # ~10 ms head on every backward call
 
         def _fetch_pair(base0, k):
             off = pl.multiple_of(base0 + k * chunk, chunk)
@@ -194,7 +178,11 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                              chunk)
             alpha = a["alpha"]
             log1m = jnp.log1p(-alpha)
-            prefix = _tri_prefix(log1m, uexcl[:], mm_dtype)
+            # single-pass matmuls here (no hi/lo split): this prefix only
+            # feeds GRADIENT weights (t_exc) — 2^-8 operand rounding is
+            # far below SGD noise, and the split doubled the dominant
+            # per-chunk matmul cost. The forward keeps hi/lo (it renders).
+            prefix = _mm(log1m, uexcl[:], mm_dtype)
             log_t_exc = log_t_all + prefix
             contrib = (log_t_exc + log1m) >= LOG_TERM
             t_exc = jnp.exp(log_t_exc)
@@ -206,11 +194,8 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                 else gout, feat_buf[slot], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-            # hi/lo split here too: s_k = stot - incl is a cancelling
-            # difference, so absolute error in incl becomes gradient noise
-            # on near-terminated pairs
             q = dw * w
-            incl = s_prefix + _tri_prefix(q, uincl[:], mm_dtype)
+            incl = s_prefix + _mm(q, uincl[:], mm_dtype)
             s_k = stot - incl                           # suffix sum, [npix, chunk]
 
             one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
@@ -220,26 +205,39 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             dalpha = jnp.where(a["keep"], dalpha, 0.0)
 
             # straight-through alpha = opacity * G
-            dG = a["op"] * dalpha
-            d_opacity = a["g_exp"] * dalpha
-            dpower = a["g_exp"] * dG
-            dx, dy = a["dx"], a["dy"]
-            ddx = dpower * (-(a["ca"] * dx) - a["cb"] * dy)
-            ddy = dpower * (-(a["cc"] * dy) - a["cb"] * dx)
-            da = dpower * (-0.5 * dx * dx)
-            db = dpower * (-dx * dy)
-            dc = dpower * (-0.5 * dy * dy)
+            dpower = a["g_exp"] * a["op"] * dalpha        # [npix, chunk]
 
-            # reduce over pixels -> per-pair rows
+            # per-pair geometry grads via PIXEL MOMENTS: with
+            # dx = gx - px separable, every reduction
+            # sum_p dpower * poly(dx, dy) expands into combinations of
+            # sum_p dpower * {1, px, py, px^2, py^2, px*py} — ONE tiny
+            # [6, npix] @ [npix, chunk] matmul replaces ~10 full-plane
+            # products + 6 plane reductions (the bwd kernel's VPU cost
+            # dominated the step). f32: px^2 reaches ~1.4e6, bf16 would
+            # quantize it to ~2^-8 relative.
+            ones_c = jnp.ones_like(px)
+            basis = jnp.concatenate(
+                [ones_c, px, py, px * px, py * py, px * py], axis=1)
+            mom = jax.lax.dot_general(
+                basis, dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [6, chunk]
+            m0, mx, my = mom[0:1], mom[1:2], mom[2:3]
+            mxx, myy, mxy = mom[3:4], mom[4:5], mom[5:6]
+            gx, gy = a["gx"], a["gy"]
+            sx_ = gx * m0 - mx                            # sum dpower*dx
+            sy_ = gy * m0 - my
+            ddx = -(a["ca"] * sx_) - a["cb"] * sy_
+            ddy = -(a["cc"] * sy_) - a["cb"] * sx_
+            da = -0.5 * (gx * gx * m0 - 2.0 * gx * mx + mxx)
+            db = -(gx * gy * m0 - gx * my - gy * mx + mxy)
+            dc = -0.5 * (gy * gy * m0 - 2.0 * gy * my + myy)
+            # sum g_exp*dalpha == (sum dpower)/op (op constant per pair)
+            d_opacity = jnp.where(a["op"] > 0.0, m0 / a["op"], 0.0)
+
             zeros = jnp.zeros((1, chunk), jnp.float32)
-            dgeo_local = jnp.concatenate([
-                jnp.sum(ddx, 0, keepdims=True),
-                jnp.sum(ddy, 0, keepdims=True),
-                jnp.sum(da, 0, keepdims=True),
-                jnp.sum(db, 0, keepdims=True),
-                jnp.sum(dc, 0, keepdims=True),
-                jnp.sum(d_opacity, 0, keepdims=True),
-                zeros, zeros], axis=0)                   # [8, chunk]
+            dgeo_local = jnp.concatenate(
+                [ddx, ddy, da, db, dc, d_opacity, zeros, zeros],
+                axis=0)                                   # [8, chunk]
             dt = jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32
             dfeat_local = jax.lax.dot_general(
                 w.astype(dt), gout.astype(dt), (((0,), (0,)), ((), ())),
@@ -354,26 +352,35 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
                          memory_space=pltpu.VMEM),  # acc (forward output)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # uexcl
             pl.BlockSpec(memory_space=pltpu.VMEM),  # uincl
+            pl.BlockSpec(memory_space=pltpu.HBM),   # dgeo zeros (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # dfeats zeros (aliased)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # dgeo (manual RMW)
             pl.BlockSpec(memory_space=pltpu.HBM),   # dfeats (manual RMW)
         ],
     )
+    dgeo0 = jnp.zeros((GEO_ROWS, pairs_pad), jnp.float32)
+    # cotangent dtype must match the (possibly bf16) primal feats
+    dfeats0 = jnp.zeros((pairs_pad, c_out), pair_feats.dtype)
     dgeo, dfeats = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((GEO_ROWS, pairs_pad), jnp.float32),
-            # cotangent dtype must match the (possibly bf16) primal feats
-            jax.ShapeDtypeStruct((pairs_pad, c_out), pair_feats.dtype),
+            jax.ShapeDtypeStruct(dgeo0.shape, dgeo0.dtype),
+            jax.ShapeDtypeStruct(dfeats0.shape, dfeats0.dtype),
         ],
+        # the zeroed accumulators ride in as inputs aliased onto the
+        # outputs (XLA emits a fused fill; zeroing inside the kernel cost
+        # ~4k serial DMA round trips on the first grid step). Indices
+        # count ALL operands including the two scalar-prefetch args.
+        input_output_aliases={10: 0, 11: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
             has_side_effects=True),
         interpret=interpret,
     )(tile_start, tile_count, pair_geo, pair_feats, gout, gtfin, tfin,
-      acc, uexcl, uincl)
+      acc, uexcl, uincl, dgeo0, dfeats0)
     return dgeo, dfeats
 
 
