@@ -315,17 +315,38 @@ def _chunked_take_raw(src, idx, nvalid):
 
 
 def _take_pairs_fwd(feats, geo_g, idx, nvalid):
-    return _take_pairs(feats, geo_g, idx, nvalid), (idx, feats, geo_g)
+    return _take_pairs(feats, geo_g, idx, nvalid), (idx, feats, geo_g, nvalid)
 
 
 def _take_pairs_bwd(res, cots):
-    idx, feats, geo_g = res
+    idx, feats, geo_g, nvalid = res
     gpf, ggeo = cots
     c = feats.shape[1]
-    gm = jnp.concatenate([gpf.astype(jnp.float32),
-                          ggeo.astype(jnp.float32)], axis=1)
-    acc = jnp.zeros((feats.shape[0], c + geo_g.shape[1]), jnp.float32) \
-        .at[idx].add(gm, mode="drop")
+    n = idx.shape[0]
+    width = c + geo_g.shape[1]
+    zero = jnp.zeros((feats.shape[0], width), jnp.float32)
+    # Slab-skip: valid pairs occupy the sorted prefix; rows past nvalid
+    # carry sentinel gid == P and are dropped by mode="drop" regardless,
+    # so scattering only a static prefix that covers nvalid is EXACT. The
+    # scatter engine is row-rate-bound (~40 ns/row), so skipping the
+    # sentinel tail saves proportional time (~25% at bench occupancy).
+    # 4 quantized prefix lengths via lax.switch keep shapes static.
+    n_slabs = 4
+    assert n % n_slabs == 0, (n, n_slabs)
+    slab = n // n_slabs
+
+    def make(k):
+        m = slab * (k + 1)
+
+        def f():
+            gm = jnp.concatenate([gpf[:m].astype(jnp.float32),
+                                  ggeo[:m].astype(jnp.float32)], axis=1)
+            return zero.at[idx[:m]].add(gm, mode="drop")
+        return f
+
+    sel = jnp.clip((nvalid + slab - 1) // slab - 1, 0, n_slabs - 1)
+    acc = jax.lax.switch(sel.astype(jnp.int32),
+                         [make(k) for k in range(n_slabs)])
     return (acc[:, :c].astype(feats.dtype), acc[:, c:],
             np.zeros(idx.shape, jax.dtypes.float0),
             np.zeros((), jax.dtypes.float0))
