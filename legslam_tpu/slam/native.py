@@ -20,9 +20,20 @@ from typing import Optional
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native",
-    "tracking_core.cpp")
+def _find_src() -> str:
+    """native/tracking_core.cpp: next to the repo checkout, or wherever
+    LEGSLAM_NATIVE_DIR points (site-packages installs, containers)."""
+    cands = [os.environ.get("LEGSLAM_NATIVE_DIR", "")]
+    cands.append(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native"))
+    cands.append(os.path.join(os.getcwd(), "native"))
+    for d in cands:
+        if d and os.path.exists(os.path.join(d, "tracking_core.cpp")):
+            return os.path.join(d, "tracking_core.cpp")
+    return os.path.join(cands[1], "tracking_core.cpp")
+
+
+_SRC = _find_src()
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False

@@ -130,6 +130,22 @@ def klt_track(prev_gray: np.ndarray, cur_gray: np.ndarray,
     return _zncc_track(prev_gray, cur_gray, pts)  # pragma: no cover
 
 
+def klt_track_fb(prev_gray: np.ndarray, cur_gray: np.ndarray,
+                 pts: np.ndarray, fb_th: float = 1.0
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """KLT with forward-backward verification: track prev->cur->prev and
+    keep only round-trips within fb_th pixels. Repetitive texture makes
+    plain KLT latch onto look-alike corners (gross outliers that poison
+    the 8-point essential estimate); the fb check kills them at 2x cost.
+    Used on the sensitive paths (mono init, relocalization)."""
+    nxt, ok = klt_track(prev_gray, cur_gray, pts)
+    if not ok.any():
+        return nxt, ok
+    back, ok2 = klt_track(cur_gray, prev_gray, nxt)
+    rt = np.linalg.norm(back - pts, axis=1)
+    return nxt, ok & ok2 & (rt < fb_th)
+
+
 def _zncc_track(prev_gray, cur_gray, pts, patch=7,
                 radius=10):  # pragma: no cover — cv2-less fallback
     half = patch // 2
@@ -208,15 +224,355 @@ def ransac_rigid(A: np.ndarray, B: np.ndarray, rng: np.random.Generator,
 
 
 # ---------------------------------------------------------------------------
+# Monocular geometry: essential matrix, triangulation, motion-only PnP
+# (the 2D counterparts of the RGB-D 3D-3D stack above; the reference's
+# monocular path is ORB-SLAM3/src/Tracking.cc MonocularInitialization +
+# TwoViewReconstruction + Optimizer::PoseOptimization — redesigned here as
+# normalized-8-point RANSAC + DLT + Gauss-Newton, all batched numpy)
+# ---------------------------------------------------------------------------
+
+def _hat(v: np.ndarray) -> np.ndarray:
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
+                     [-v[1], v[0], 0]], np.float64)
+
+
+def _rodrigues(w: np.ndarray) -> np.ndarray:
+    ang = float(np.linalg.norm(w))
+    if ang < 1e-12:
+        return np.eye(3)
+    K = _hat(w / ang)
+    return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+
+
+def _essential_lsq(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    """Least-squares essential matrix from normalized correspondences
+    (8-point; rank-2 projection with equalized singular values)."""
+    a1 = np.concatenate([x1, np.ones((len(x1), 1))], 1)
+    a2 = np.concatenate([x2, np.ones((len(x2), 1))], 1)
+    A = (a2[:, :, None] * a1[:, None, :]).reshape(len(x1), 9)
+    _, _, Vt = np.linalg.svd(A)
+    E = Vt[-1].reshape(3, 3)
+    U, S, Vt = np.linalg.svd(E)
+    return U @ np.diag([1.0, 1.0, 0.0]) @ Vt
+
+
+def _sampson(E: np.ndarray, x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    a1 = np.concatenate([x1, np.ones((len(x1), 1))], 1)
+    a2 = np.concatenate([x2, np.ones((len(x2), 1))], 1)
+    Ex1 = a1 @ E.T
+    Etx2 = a2 @ E
+    num = np.sum(a2 * Ex1, axis=1) ** 2
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 \
+        + Etx2[:, 1] ** 2
+    return num / np.maximum(den, 1e-12)
+
+
+def essential_ransac(x1: np.ndarray, x2: np.ndarray,
+                     rng: np.random.Generator, iters: int = 256,
+                     thresh: float = 2e-6, min_inliers: int = 12
+                     ) -> tuple[Optional[np.ndarray], np.ndarray]:
+    """RANSAC essential matrix over normalized coords; Sampson gating.
+    Returns (E, inlier_mask); E is None when degenerate."""
+    n = len(x1)
+    if n < 8:
+        return None, np.zeros(n, bool)
+    best = np.zeros(n, bool)
+    for _ in range(iters):
+        idx = rng.choice(n, 8, replace=False)
+        E = _essential_lsq(x1[idx], x2[idx])
+        inl = _sampson(E, x1, x2) < thresh
+        if inl.sum() > best.sum():
+            best = inl
+    if best.sum() < min_inliers:
+        return None, best
+    E = _essential_lsq(x1[best], x2[best])
+    for _ in range(2):
+        inl = _sampson(E, x1, x2) < thresh
+        if inl.sum() < 8:
+            break
+        best = inl
+        E = _essential_lsq(x1[best], x2[best])
+    return E, best
+
+
+def triangulate_two(R2: np.ndarray, t2: np.ndarray, x1: np.ndarray,
+                    x2: np.ndarray) -> np.ndarray:
+    """DLT triangulation in cam-1's frame with cam2 = [R2|t2] relative to
+    cam1 = [I|0]. x1/x2 normalized [N,2]. Returns [N,3] cam-1 points."""
+    n = len(x1)
+    P2 = np.concatenate([R2, t2[:, None]], 1).astype(np.float64)  # [3,4]
+    A = np.zeros((n, 4, 4), np.float64)
+    A[:, 0, 0] = -1.0
+    A[:, 0, 2] = x1[:, 0]
+    A[:, 1, 1] = -1.0
+    A[:, 1, 2] = x1[:, 1]
+    A[:, 2] = x2[:, 0, None] * P2[2] - P2[0]
+    A[:, 3] = x2[:, 1, None] * P2[2] - P2[1]
+    _, _, Vt = np.linalg.svd(A)
+    X = Vt[:, -1]
+    return (X[:, :3] / np.where(np.abs(X[:, 3:]) < 1e-12, 1e-12,
+                                X[:, 3:])).astype(np.float32)
+
+
+def triangulate_multi(Rs: np.ndarray, ts: np.ndarray, xs: np.ndarray
+                      ) -> Optional[np.ndarray]:
+    """World-frame DLT from K >= 2 views: Rs [K,3,3] w2c, ts [K,3],
+    xs [K,2] normalized observations. Returns [3] or None."""
+    rows = []
+    for R, t, x in zip(Rs, ts, xs):
+        P = np.concatenate([R, t[:, None]], 1).astype(np.float64)
+        rows.append(x[0] * P[2] - P[0])
+        rows.append(x[1] * P[2] - P[1])
+    A = np.stack(rows)
+    _, _, Vt = np.linalg.svd(A)
+    X = Vt[-1]
+    if abs(X[3]) < 1e-12:
+        return None
+    return (X[:3] / X[3]).astype(np.float32)
+
+
+def _essential_candidates(E: np.ndarray) -> list:
+    """The four (R, unit t) decompositions of an essential matrix."""
+    U, _, Vt = np.linalg.svd(E.astype(np.float64))
+    if np.linalg.det(U) < 0:
+        U = -U
+    if np.linalg.det(Vt) < 0:
+        Vt = -Vt
+    W = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+    return [(R, t) for R in (U @ W @ Vt, U @ W.T @ Vt)
+            for t in (U[:, 2], -U[:, 2])]
+
+
+def score_pose_candidate(R: np.ndarray, t: np.ndarray, x1: np.ndarray,
+                         x2: np.ndarray, reproj_th: float = 8e-3
+                         ) -> tuple[np.ndarray, np.ndarray, float]:
+    """Triangulate and grade one relative-pose hypothesis. Returns
+    (X1 [N,3] cam-1 points, good mask, median parallax angle deg of good
+    points). good = positive finite depth in both views + low
+    reprojection."""
+    R32, t32 = R.astype(np.float32), t.astype(np.float32)
+    X = triangulate_two(R32, t32, x1, x2)
+    z1 = X[:, 2]
+    cam2 = X @ R32.T + t32
+    z2 = cam2[:, 2]
+    good = (z1 > 1e-3) & (z2 > 1e-3) & (z1 < 1e4)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p1 = X[:, :2] / np.where(np.abs(z1[:, None]) < 1e-9, 1e-9,
+                                 z1[:, None])
+        p2 = cam2[:, :2] / np.where(np.abs(z2[:, None]) < 1e-9, 1e-9,
+                                    z2[:, None])
+    good &= (np.linalg.norm(p1 - x1, axis=1) < reproj_th)
+    good &= (np.linalg.norm(p2 - x2, axis=1) < reproj_th)
+    if not good.any():
+        return X, good, 0.0
+    c2 = -(R32.T @ t32)
+    b1 = X[good] / np.maximum(np.linalg.norm(X[good], axis=1,
+                                             keepdims=True), 1e-12)
+    d2 = X[good] - c2
+    b2 = d2 / np.maximum(np.linalg.norm(d2, axis=1, keepdims=True), 1e-12)
+    cosang = np.clip(np.median(np.sum(b1 * b2, axis=1)), -1.0, 1.0)
+    return X, good, float(np.degrees(np.arccos(cosang)))
+
+
+def decompose_essential(E: np.ndarray, x1: np.ndarray, x2: np.ndarray
+                        ) -> tuple[Optional[np.ndarray],
+                                   Optional[np.ndarray], np.ndarray]:
+    """Pick the cheirality-consistent (R, t) of the four E decompositions
+    (unit-norm t; x2 ~ R @ X + t for X in cam-1 coords). Returns
+    (R, t, good_mask) — good = positive finite depth in both views."""
+    best = (None, None, np.zeros(len(x1), bool))
+    for R, t in _essential_candidates(E):
+        X, good, _ = score_pose_candidate(R, t, x1, x2)
+        if good.sum() > best[2].sum():
+            best = (R.astype(np.float32), t.astype(np.float32), good)
+    return best
+
+
+def _homography_lsq(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    """DLT homography from normalized correspondences (x2 ~ H x1)."""
+    n = len(x1)
+    A = np.zeros((2 * n, 9), np.float64)
+    u, v = x1[:, 0], x1[:, 1]
+    up, vp = x2[:, 0], x2[:, 1]
+    A[0::2, 0] = -u
+    A[0::2, 1] = -v
+    A[0::2, 2] = -1
+    A[0::2, 6] = up * u
+    A[0::2, 7] = up * v
+    A[0::2, 8] = up
+    A[1::2, 3] = -u
+    A[1::2, 4] = -v
+    A[1::2, 5] = -1
+    A[1::2, 6] = vp * u
+    A[1::2, 7] = vp * v
+    A[1::2, 8] = vp
+    _, _, Vt = np.linalg.svd(A)
+    return Vt[-1].reshape(3, 3)
+
+
+def _homography_err(H: np.ndarray, x1: np.ndarray, x2: np.ndarray
+                    ) -> np.ndarray:
+    """Symmetric transfer error (squared, normalized coords)."""
+    a1 = np.concatenate([x1, np.ones((len(x1), 1))], 1)
+    a2 = np.concatenate([x2, np.ones((len(x2), 1))], 1)
+    f = a1 @ H.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = f[:, :2] / np.where(np.abs(f[:, 2:]) < 1e-12, 1e-12, f[:, 2:])
+    Hi = np.linalg.inv(H)
+    b = a2 @ Hi.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b = b[:, :2] / np.where(np.abs(b[:, 2:]) < 1e-12, 1e-12, b[:, 2:])
+    return np.sum((f - x2) ** 2, 1) + np.sum((b - x1) ** 2, 1)
+
+
+def homography_ransac(x1: np.ndarray, x2: np.ndarray,
+                      rng: np.random.Generator, iters: int = 256,
+                      thresh: float = 2e-5, min_inliers: int = 12
+                      ) -> tuple[Optional[np.ndarray], np.ndarray]:
+    """RANSAC plane homography over normalized coords. Planar scenes make
+    the 8-point essential estimate degenerate (a 2-parameter family fits),
+    so monocular init selects between E and H like the reference
+    (ORB-SLAM3 TwoViewReconstruction computes both and reconstructs from
+    the better-scoring model)."""
+    n = len(x1)
+    if n < 8:
+        return None, np.zeros(n, bool)
+    best = np.zeros(n, bool)
+    for _ in range(iters):
+        idx = rng.choice(n, 4, replace=False)
+        try:
+            H = _homography_lsq(x1[idx], x2[idx])
+            inl = _homography_err(H, x1, x2) < thresh
+        except np.linalg.LinAlgError:
+            continue
+        if inl.sum() > best.sum():
+            best = inl
+    if best.sum() < min_inliers:
+        return None, best
+    H = _homography_lsq(x1[best], x2[best])
+    for _ in range(2):
+        try:
+            inl = _homography_err(H, x1, x2) < thresh
+        except np.linalg.LinAlgError:
+            break
+        if inl.sum() < 8:
+            break
+        best = inl
+        H = _homography_lsq(x1[best], x2[best])
+    return H, best
+
+
+def _homography_candidates(H: np.ndarray) -> list:
+    """Faugeras-Lustman SVD decomposition of a normalized-coordinate
+    homography into up to 8 (R, t) hypotheses (H = R + t n^T / d;
+    textbook method, Faugeras & Lustman 1988)."""
+    U, L, Vt = np.linalg.svd(H.astype(np.float64))
+    s = np.linalg.det(U) * np.linalg.det(Vt)
+    l1, l2, l3 = L
+    if l1 - l3 < 1e-9 * l2:   # pure rotation (degenerate for init)
+        return []
+    a1 = np.sqrt(max((l1 * l1 - l2 * l2) / (l1 * l1 - l3 * l3), 0.0))
+    a3 = np.sqrt(max((l2 * l2 - l3 * l3) / (l1 * l1 - l3 * l3), 0.0))
+    cands = []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            x1v, x3v = e1 * a1, e3 * a3
+            # d' > 0 branch
+            st = (l1 - l3) * x1v * x3v / l2
+            ct = (l1 * x3v * x3v + l3 * x1v * x1v) / l2
+            Rp = np.array([[ct, 0, -st], [0, 1, 0], [st, 0, ct]])
+            tp = (l1 - l3) * np.array([x1v, 0.0, -x3v])
+            cands.append((s * U @ Rp @ Vt, U @ tp))
+            # d' < 0 branch
+            sp = (l1 + l3) * x1v * x3v / l2
+            cp = (l3 * x1v * x1v - l1 * x3v * x3v) / l2
+            Rn = np.array([[cp, 0, sp], [0, -1, 0], [sp, 0, -cp]])
+            tn = (l1 + l3) * np.array([x1v, 0.0, x3v])
+            cands.append((s * U @ Rn @ Vt, U @ tn))
+    out = []
+    for R, t in cands:
+        nt = np.linalg.norm(t)
+        if nt > 1e-12:
+            out.append((R, t / nt))
+    return out
+
+
+def pnp_gn(world: np.ndarray, xn: np.ndarray, R0: np.ndarray,
+           t0: np.ndarray, iters: int = 10, huber: float = 5e-3,
+           inlier_th: float = 1e-2
+           ) -> tuple[Optional[np.ndarray], Optional[np.ndarray],
+                      np.ndarray]:
+    """Motion-only reprojection Gauss-Newton (3D-2D): minimize
+    sum rho(pi(R w + t) - xn) over the 6-dof pose with Huber weights,
+    initialized at (R0, t0). The monocular stand-in for ORB-SLAM3's
+    Optimizer::PoseOptimization. Returns (R, t, inlier_mask)."""
+    n = len(world)
+    if n < 6:
+        return None, None, np.zeros(n, bool)
+    R = R0.astype(np.float64).copy()
+    t = t0.astype(np.float64).copy()
+    w64 = world.astype(np.float64)
+    x64 = xn.astype(np.float64)
+    for _ in range(iters):
+        p = w64 @ R.T + t
+        z = np.maximum(p[:, 2], 1e-6)
+        r = np.stack([p[:, 0] / z - x64[:, 0],
+                      p[:, 1] / z - x64[:, 1]], -1)     # [n,2]
+        rn = np.linalg.norm(r, axis=1)
+        wgt = np.where(rn <= huber, 1.0, huber / np.maximum(rn, 1e-12))
+        wgt = np.where(p[:, 2] > 1e-6, wgt, 0.0)
+        # J = dr/d(dt, omega): [n,2,6] with dp/ddelta = [I, -hat(p)]
+        iz = 1.0 / z
+        J = np.zeros((n, 2, 6))
+        drdp = np.zeros((n, 2, 3))
+        drdp[:, 0, 0] = iz
+        drdp[:, 0, 2] = -p[:, 0] * iz * iz
+        drdp[:, 1, 1] = iz
+        drdp[:, 1, 2] = -p[:, 1] * iz * iz
+        J[:, :, :3] = drdp
+        hats = np.zeros((n, 3, 3))
+        hats[:, 0, 1] = -p[:, 2]
+        hats[:, 0, 2] = p[:, 1]
+        hats[:, 1, 0] = p[:, 2]
+        hats[:, 1, 2] = -p[:, 0]
+        hats[:, 2, 0] = -p[:, 1]
+        hats[:, 2, 1] = p[:, 0]
+        J[:, :, 3:] = -np.einsum("nij,njk->nik", drdp, hats)
+        Jw = J * wgt[:, None, None]
+        H = np.einsum("nij,nik->jk", Jw, J)
+        g = np.einsum("nij,ni->j", Jw, r)
+        try:
+            delta = np.linalg.solve(H + 1e-9 * np.eye(6), -g)
+        except np.linalg.LinAlgError:
+            return None, None, np.zeros(n, bool)
+        Re = _rodrigues(delta[3:])
+        R = Re @ R
+        t = Re @ t + delta[:3]
+        if np.linalg.norm(delta) < 1e-10:
+            break
+    p = w64 @ R.T + t
+    z = np.maximum(p[:, 2], 1e-6)
+    r = np.stack([p[:, 0] / z - x64[:, 0], p[:, 1] / z - x64[:, 1]], -1)
+    inl = (np.linalg.norm(r, axis=1) < inlier_th) & (p[:, 2] > 1e-6)
+    # re-orthonormalize
+    U, _, Vt = np.linalg.svd(R)
+    R = U @ Vt
+    return R.astype(np.float32), t.astype(np.float32), inl
+
+
+# ---------------------------------------------------------------------------
 # The frontend
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
 class _Landmark:
-    world: np.ndarray                 # [3] current world estimate
+    world: Optional[np.ndarray]       # [3] world estimate (None: mono,
+    #                                   awaiting triangulation)
     color: np.ndarray                 # [3]
-    obs: dict                         # kf_fid -> cam-frame point [3]
+    obs: dict                         # kf_fid -> cam-frame point [3] (rgbd)
     created_kf: int
+    # kf_fid -> NORMALIZED image obs [2] (monocular observations)
+    obs2d: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -242,7 +598,16 @@ class TrackingFrontend:
                  loop_min_gap: int = 10, loop_radius: float = 0.3,
                  loop_appearance_th: float = 0.4,
                  enable_loop_closing: bool = True,
-                 max_keyframes_live: int = 0, seed: int = 0):
+                 max_keyframes_live: int = 0, seed: int = 0,
+                 sensor: str = "rgbd",
+                 reloc_after: int = 2, reanchor_after: int = 12,
+                 reloc_appearance_th: float = 0.35,
+                 mono_init_parallax: float = 12.0,
+                 mono_depth_gauge: float = 2.5,
+                 scale_refine_kfs: int = 3,
+                 stereo_baseline: float = 0.0):
+        if sensor not in ("rgbd", "mono", "stereo"):
+            raise ValueError(f"unknown sensor mode {sensor!r}")
         self.queue = OperationQueue()
         self.last_vis = None  # viewer SLAM-frame snapshot (_capture_vis)
         self.intr = intrinsics
@@ -261,6 +626,14 @@ class TrackingFrontend:
         self.loop_appearance_th = loop_appearance_th
         self.enable_loop_closing = enable_loop_closing
         self.max_keyframes_live = max_keyframes_live
+        self.sensor = sensor
+        self.reloc_after = reloc_after
+        self.reanchor_after = reanchor_after
+        self.reloc_appearance_th = reloc_appearance_th
+        self.mono_init_parallax = mono_init_parallax
+        self.mono_depth_gauge = mono_depth_gauge
+        self.scale_refine_kfs = scale_refine_kfs
+        self.stereo_baseline = stereo_baseline
         self._rng = np.random.default_rng(seed)
 
         self.landmarks: dict[int, _Landmark] = {}
@@ -278,9 +651,18 @@ class TrackingFrontend:
         self._kf_final: dict[int, np.ndarray] = {}  # culled KFs' last pose
         self._cur_R = np.eye(3, dtype=np.float32)
         self._cur_t = np.zeros(3, np.float32)
+        self._cur_right = None         # latest rectified right image (stereo)
         self.lost_frames = 0
         self.n_loop_closures = 0
         self.n_keyframes_created = 0
+        # mono state: two-view initialization buffer + metric-scale obs
+        self.initialized = sensor != "mono"
+        self._mono_ref = None          # (frame, gray, px0, px_cur)
+        self._scale_obs: list = []     # depth-borrow scale ratios (mono)
+        self.n_scale_refinements = 0
+        self.mono_scale = 1.0
+        self._lost_streak = 0
+        self.n_relocalizations = 0
 
     # -- geometry helpers ------------------------------------------------
     def _lift(self, px: np.ndarray, depth: np.ndarray
@@ -319,14 +701,52 @@ class TrackingFrontend:
             T_f[:3, :3], T_f[:3, 3] = self._cur_R, self._cur_t
             self._frame_ref[fid] = (ref.fid, T_f @ np.linalg.inv(T_kf))
 
+    def _normalize(self, px: np.ndarray) -> np.ndarray:
+        """Pixels [N,2] -> normalized image coordinates [N,2]."""
+        fx, fy = self.intr["fx"], self.intr["fy"]
+        cx, cy = self.intr["cx"], self.intr["cy"]
+        return np.stack([(px[:, 0] - cx) / fx, (px[:, 1] - cy) / fy],
+                        -1).astype(np.float32)
+
+    def _denormalize(self, xn: np.ndarray) -> np.ndarray:
+        fx, fy = self.intr["fx"], self.intr["fy"]
+        cx, cy = self.intr["cx"], self.intr["cy"]
+        return np.stack([xn[:, 0] * fx + cx, xn[:, 1] * fy + cy],
+                        -1).astype(np.float32)
+
     # -- main per-frame entry ---------------------------------------------
     def track(self, frame: RGBDFrame,
-              lf_image: Optional[np.ndarray] = None
+              lf_image: Optional[np.ndarray] = None,
+              color_right: Optional[np.ndarray] = None
               ) -> Optional[KeyframePacket]:
+        """Per-frame entry (System::TrackRGBDLF / TrackMonocular /
+        TrackStereo, ORB-SLAM3/src/System.cc). Sensor modes:
+          rgbd   — depth map required; 3D-3D landmark-anchored tracking.
+          mono   — color only; essential-matrix two-view init, PnP
+                   tracking, DLT triangulation; metric scale borrowed
+                   from a depth sensor when frames carry one, published
+                   as SCALE_REFINEMENT (LocalMapping.cc:1300-1304).
+          stereo — rectified right image; depth from the census+SGM
+                   stereo kernels, then the RGB-D machinery; the right
+                   image rides the packets for the SGM densify branch.
+        """
         gray = to_gray(frame.color)
-        if frame.depth is None:
-            raise ValueError("TrackingFrontend is RGB-D: depth required")
+        if self.sensor == "stereo":
+            if color_right is None:
+                raise ValueError("stereo tracking requires color_right")
+            depth = self._stereo_depth(frame.color, color_right)
+            frame = dataclasses.replace(frame, depth=depth)
+            self._cur_right = color_right
+        elif self.sensor == "rgbd" and frame.depth is None:
+            raise ValueError("rgbd tracking requires depth; use "
+                             "sensor='mono' to track without it")
+        if self.sensor == "mono":
+            return self._track_mono(frame, gray, lf_image)
+        return self._track_rgbd(frame, gray, lf_image)
 
+    def _track_rgbd(self, frame: RGBDFrame, gray: np.ndarray,
+                    lf_image: Optional[np.ndarray]
+                    ) -> Optional[KeyframePacket]:
         if not self.keyframes:
             # bootstrap: world frame = first camera frame
             self._cur_R = np.eye(3, dtype=np.float32)
@@ -356,17 +776,9 @@ class TrackingFrontend:
                 inl = np.zeros(len(self._track_px), bool)
                 inl[np.flatnonzero(use)[inl_sub]] = True
         if R is None:
-            # tracking lost this frame: constant-pose fallback (constant-
-            # velocity would need the previous delta; identity is the
-            # conservative choice), drop dead tracks, try to re-detect
-            self.lost_frames += 1
-            self._store_pose(frame.index)
-            self._prev_gray = gray
-            if len(self._track_px) < self.min_inliers:
-                self._make_keyframe(frame, gray, lf_image)  # relocalize-ish
-            self._capture_vis(gray)
-            return None
+            return self._handle_lost(frame, gray, lf_image)
 
+        self._lost_streak = 0
         self._cur_R, self._cur_t = R, t
         self._store_pose(frame.index)
 
@@ -381,6 +793,283 @@ class TrackingFrontend:
 
         self._capture_vis(gray, int(inl.sum()))
         self._prev_gray = gray
+        return packet
+
+    # -- lost handling / relocalization ---------------------------------
+    def _handle_lost(self, frame: RGBDFrame, gray: np.ndarray,
+                     lf_image: Optional[np.ndarray]
+                     ) -> Optional[KeyframePacket]:
+        """Tracking failed this frame. Constant-pose fallback, then after
+        `reloc_after` consecutive losses try appearance relocalization
+        against the keyframe store (the redesigned Tracking::Relocalization
+        — pooled-FFT appearance candidates replace DBoW2, KLT + Kabsch/PnP
+        replace the PnPsolver); after `reanchor_after` losses fall back to
+        re-anchoring a fresh keyframe at the constant-pose guess so mapping
+        continues (the reference would stay lost or spawn a new Atlas
+        map)."""
+        self.lost_frames += 1
+        self._lost_streak += 1
+        self._store_pose(frame.index)
+        packet = None
+        if self._lost_streak >= self.reloc_after:
+            if self._relocalize(frame, gray):
+                self.n_relocalizations += 1
+                self._lost_streak = 0
+                self._store_pose(frame.index)
+                # rebuild tracks from a fresh keyframe at the recovered pose
+                packet = self._make_keyframe(frame, gray, lf_image)
+            elif (self._lost_streak >= self.reanchor_after
+                  and self.sensor != "mono"
+                  and len(detect_corners(gray, 50)) >= self.min_inliers):
+                self._lost_streak = 0
+                packet = self._make_keyframe(frame, gray, lf_image)
+        self._capture_vis(gray)
+        self._prev_gray = gray
+        return packet
+
+    def _relocalize(self, frame: RGBDFrame, gray: np.ndarray) -> bool:
+        """Pose recovery against the keyframe store. Returns True (and
+        updates _cur_R/_cur_t) on success."""
+        a = _pool_gray(gray)
+        scored = []
+        for fid in self._kf_order:
+            kf = self.keyframes[fid]
+            scored.append((_peak_corr(a, _pool_gray(kf.gray)), fid))
+        scored.sort(reverse=True)
+        for score, fid in scored[:3]:
+            if score < self.reloc_appearance_th:
+                break
+            kf = self.keyframes[fid]
+            if self.sensor == "mono":
+                if self._reloc_mono_against(kf, gray):
+                    return True
+            elif self._reloc_rgbd_against(kf, frame, gray):
+                return True
+        return False
+
+    def _reloc_rgbd_against(self, kf: _KF, frame: RGBDFrame,
+                            gray: np.ndarray) -> bool:
+        pts = detect_corners(kf.gray, 300)
+        if len(pts) < self.min_inliers:
+            return False
+        cur_px, ok = klt_track_fb(kf.gray, gray, pts)
+        if ok.sum() < self.min_inliers:
+            return False
+        cam_old, ok_o = self._lift(pts[ok], kf.depth)
+        cam_new, ok_n = self._lift(cur_px[ok], frame.depth)
+        use = ok_o & ok_n
+        if use.sum() < self.min_inliers:
+            return False
+        world_old = self._to_world(cam_old[use], kf.R, kf.t)
+        R, t, inl = ransac_rigid(world_old, cam_new[use], self._rng,
+                                 thresh=self.ransac_thresh,
+                                 min_inliers=self.min_inliers)
+        if R is None or inl.sum() < self.min_inliers:
+            return False
+        self._cur_R, self._cur_t = R, t
+        # tracks are stale after a blackout — drop them; the reloc
+        # keyframe replenishes
+        self._track_lm = np.zeros((0,), np.int64)
+        self._track_px = np.zeros((0, 2), np.float32)
+        return True
+
+    def _reloc_mono_against(self, kf: _KF, gray: np.ndarray) -> bool:
+        lm_ids, px_old, world = [], [], []
+        for i, lm in self.landmarks.items():
+            if lm.world is not None and kf.fid in lm.obs2d:
+                lm_ids.append(i)
+                px_old.append(lm.obs2d[kf.fid])
+                world.append(lm.world)
+        if len(lm_ids) < self.min_inliers:
+            return False
+        px_old = self._denormalize(np.asarray(px_old, np.float32))
+        world = np.asarray(world, np.float32)
+        cur_px, ok = klt_track_fb(kf.gray, gray, px_old)
+        if ok.sum() < self.min_inliers:
+            return False
+        xn = self._normalize(cur_px[ok])
+        R, t, inl = pnp_gn(world[ok], xn, kf.R, kf.t)
+        if R is None or inl.sum() < self.min_inliers:
+            return False
+        self._cur_R, self._cur_t = R, t
+        # resume tracking the re-found landmarks
+        ids = np.asarray(lm_ids, np.int64)[ok][inl]
+        self._track_lm = ids
+        self._track_px = cur_px[ok][inl]
+        return True
+
+    # -- stereo depth -----------------------------------------------------
+    def _stereo_depth(self, color: np.ndarray,
+                      color_right: np.ndarray) -> np.ndarray:
+        """Census+SGM disparity -> metric depth (ops/stereo.py — the same
+        kernels the mapper's stereo densify branch uses,
+        src/stereo_vision.cu / cv::cuda::StereoSGM in the reference)."""
+        import jax.numpy as jnp
+
+        from legslam_tpu.ops.stereo import sgm_disparity
+        gl = jnp.asarray(color).mean(-1)
+        gr = jnp.asarray(color_right).mean(-1)
+        disp = np.asarray(sgm_disparity(gl, gr), np.float32)
+        b = self.stereo_baseline or 0.1
+        with np.errstate(divide="ignore"):
+            depth = self.intr["fx"] * b / np.where(disp > 0, disp, np.inf)
+        return depth.astype(np.float32)
+
+    # -- monocular tracking ----------------------------------------------
+    def _track_mono(self, frame: RGBDFrame, gray: np.ndarray,
+                    lf_image: Optional[np.ndarray]
+                    ) -> Optional[KeyframePacket]:
+        if not self.initialized:
+            packet = self._mono_init_step(frame, gray, lf_image)
+            self._prev_gray = gray
+            return packet
+
+        new_px, ok = klt_track(self._prev_gray, gray, self._track_px)
+        self._track_lm = self._track_lm[ok]
+        self._track_px = new_px[ok]
+
+        has3d = np.asarray(
+            [self.landmarks[int(i)].world is not None
+             for i in self._track_lm], bool) \
+            if len(self._track_lm) else np.zeros((0,), bool)
+        R = None
+        if has3d.sum() >= 6:
+            world = np.stack([self.landmarks[int(i)].world
+                              for i in self._track_lm[has3d]])
+            xn = self._normalize(self._track_px[has3d])
+            R, t, inl_sub = pnp_gn(world, xn, self._cur_R, self._cur_t)
+            if R is not None and inl_sub.sum() < self.min_inliers:
+                R = None
+        if R is None:
+            return self._handle_lost(frame, gray, lf_image)
+
+        self._lost_streak = 0
+        self._cur_R, self._cur_t = R, t
+        self._store_pose(frame.index)
+
+        # drop PnP outliers (bad associations)
+        keep = np.ones(len(self._track_px), bool)
+        keep[np.flatnonzero(has3d)[~inl_sub]] = False
+        self._track_lm = self._track_lm[keep]
+        self._track_px = self._track_px[keep]
+
+        packet = None
+        if self._need_keyframe(int(inl_sub.sum())):
+            packet = self._make_keyframe(frame, gray, lf_image)
+
+        self._capture_vis(gray, int(inl_sub.sum()))
+        self._prev_gray = gray
+        return packet
+
+    def _mono_init_step(self, frame: RGBDFrame, gray: np.ndarray,
+                        lf_image: Optional[np.ndarray]
+                        ) -> Optional[KeyframePacket]:
+        """Two-view monocular initialization
+        (Tracking::MonocularInitialization): hold a reference frame, KLT
+        until median parallax clears the bar, then essential-matrix
+        RANSAC + cheirality decomposition + triangulation, gauge-fixed to
+        median depth = mono_depth_gauge."""
+        if self._mono_ref is None:
+            pts = detect_corners(gray, self.max_corners)
+            if len(pts) < 4 * self.min_inliers:
+                return None
+            self._mono_ref = dict(frame=frame, gray=gray, px0=pts,
+                                  px=pts.copy(),
+                                  R=self._cur_R.copy(),
+                                  t=self._cur_t.copy())
+            self._store_pose(frame.index)
+            return None
+
+        ref = self._mono_ref
+        px, ok = klt_track_fb(self._prev_gray, gray, ref["px"])
+        ref["px0"], ref["px"] = ref["px0"][ok], px[ok]
+        self._store_pose(frame.index)
+        if len(ref["px"]) < 4 * self.min_inliers:
+            self._mono_ref = None  # reference died; restart
+            return None
+        parallax = np.median(
+            np.linalg.norm(ref["px"] - ref["px0"], axis=1))
+        if parallax < self.mono_init_parallax:
+            return None
+
+        x1 = self._normalize(ref["px0"])
+        x2 = self._normalize(ref["px"])
+        # Both models, gates calibrated to ~2 px of KLT noise: the 8-point
+        # essential estimate is DEGENERATE on planar (wall-dominated)
+        # scenes, so candidate poses come from E *and* the Faugeras
+        # decomposition of H, and the reconstruction picks whichever
+        # hypothesis triangulates best (ORB-SLAM3 TwoViewReconstruction's
+        # H/F model selection, redesigned as a unified candidate score).
+        th = (2.0 / self.intr["fx"]) ** 2
+        cands = []
+        E, inl_e = essential_ransac(x1, x2, self._rng, thresh=th,
+                                    min_inliers=4 * self.min_inliers)
+        if E is not None:
+            cands += [(R, t, inl_e) for R, t in _essential_candidates(E)]
+        H, inl_h = homography_ransac(x1, x2, self._rng, thresh=2 * th,
+                                     min_inliers=4 * self.min_inliers)
+        if H is not None:
+            cands += [(R, t, inl_h) for R, t in _homography_candidates(H)]
+
+        best = None  # (n_good, med_par, Rrel, trel, inl, X1, sel)
+        for R, t, inl in cands:
+            X1, good, med_par = score_pose_candidate(R, t, x1[inl], x2[inl])
+            key = (int(good.sum()), med_par)
+            if best is None or key > best[0]:
+                best = (key, R.astype(np.float32), t.astype(np.float32),
+                        inl, X1, good)
+        if best is None:
+            return None
+        (n_good, med_par), Rrel, trel, inl, X1, sel = best
+        # acceptance: enough support AND enough PARALLAX ANGLE — raw pixel
+        # displacement is rotation-inclusive, so a look-at motion passes
+        # the displacement gate while the translation signal is still too
+        # weak for a stable reconstruction
+        if n_good < 2 * self.min_inliers or med_par < 0.9:
+            return None
+        # gauge: median triangulated depth -> mono_depth_gauge
+        s = self.mono_depth_gauge / max(float(np.median(X1[sel, 2])), 1e-6)
+        X1 = X1 * s
+        trel = trel * s
+
+        R0, t0 = ref["R"], ref["t"]
+        world = self._to_world(X1[sel], R0, t0)
+        px_ref = ref["px0"][inl][sel]
+        px_cur = ref["px"][inl][sel]
+        ref_frame, ref_gray = ref["frame"], ref["gray"]
+        h, w = ref_gray.shape
+        xi = np.clip(px_ref[:, 0].astype(int), 0, w - 1)
+        yi = np.clip(px_ref[:, 1].astype(int), 0, h - 1)
+        cols = ref_frame.color[yi, xi].astype(np.float32)
+
+        ids = []
+        for j in range(len(world)):
+            lm = _Landmark(world=world[j], color=cols[j], obs={},
+                           created_kf=ref_frame.index)
+            lm.obs2d[ref_frame.index] = self._normalize(px_ref[j:j + 1])[0]
+            lm.obs2d[frame.index] = self._normalize(px_cur[j:j + 1])[0]
+            self.landmarks[self._next_lm] = lm
+            ids.append(self._next_lm)
+            self._next_lm += 1
+
+        # keyframe 0 (reference) and keyframe 1 (current)
+        kf0 = _KF(fid=ref_frame.index, R=R0.copy(), t=t0.copy(),
+                  gray=ref_gray, color=ref_frame.color, depth=None)
+        self.keyframes[ref_frame.index] = kf0
+        self._kf_order.append(ref_frame.index)
+        self.n_keyframes_created += 1
+
+        # current pose: cam2 = Rrel @ cam1 + trel composed with ref pose
+        self._cur_R = (Rrel @ R0).astype(np.float32)
+        self._cur_t = (Rrel @ t0 + trel).astype(np.float32)
+        self._track_lm = np.asarray(ids, np.int64)
+        self._track_px = px_cur
+        self.initialized = True
+        self._mono_ref = None
+        self._store_pose(frame.index)
+        self._last_kf_px_count = max(len(ids), 1)
+        packet = self._make_keyframe(frame, gray, lf_image)
+        self._capture_vis(gray, len(ids))
         return packet
 
     def _capture_vis(self, gray: np.ndarray, n_inliers: int = 0) -> None:
@@ -414,6 +1103,38 @@ class TrackingFrontend:
         self._kf_order.append(fid)
         self.n_keyframes_created += 1
 
+        if self.sensor == "mono":
+            new_xyz, new_col, n_obs_kf = self._mono_observe_and_extend(
+                frame, gray, fid)
+        else:
+            new_xyz, new_col, n_obs_kf = self._rgbd_observe_and_extend(
+                frame, gray, fid, R, t)
+        # KF-decision reference = usable observations at this KF (what the
+        # landmark-anchored / PnP solver can actually use downstream)
+        self._last_kf_px_count = max(n_obs_kf, 1)
+
+        # local BA over the sliding window, then publish
+        updated = self._local_ba()
+        packets = [self._packet_for(fid, frame, lf_image)]
+        for ufid in updated:
+            if ufid != fid:
+                packets.append(self._pose_packet(ufid))
+        self.queue.push(MappingOperation(
+            kind=OpKind.LOCAL_BA, keyframes=packets,
+            points_xyz=np.asarray(new_xyz, np.float32).reshape(-1, 3),
+            points_color=np.asarray(new_col, np.float32).reshape(-1, 3)))
+
+        if self.sensor == "mono" and frame.depth is not None:
+            # depth-borrow metric-scale refinement (the mono counterpart
+            # of the reference's IMU-init ScaleRefinement push,
+            # LocalMapping.cc:1300-1304)
+            self._mono_scale_update(frame)
+        if self.enable_loop_closing and self.sensor != "mono":
+            self._try_loop_close(kf)
+        self._cull_keyframes()
+        return packets[0]
+
+    def _rgbd_observe_and_extend(self, frame, gray, fid, R, t):
         # observations for surviving tracks at this KF
         cam, ok = self._lift(self._track_px, frame.depth)
         for i in np.flatnonzero(ok):
@@ -445,37 +1166,159 @@ class TrackingFrontend:
                 self._track_px = np.concatenate([self._track_px, fresh])
                 new_xyz, new_col = worldf, cols
                 n_obs_kf += len(fresh)
-        # KF-decision reference = depth-valid observations at this KF (what
-        # the landmark-anchored solver can actually use downstream)
-        self._last_kf_px_count = max(n_obs_kf, 1)
+        return new_xyz, new_col, n_obs_kf
 
-        # local BA over the sliding window, then publish
-        updated = self._local_ba()
-        packets = [self._packet_for(fid, frame, lf_image)]
-        for ufid in updated:
-            if ufid != fid:
-                packets.append(self._pose_packet(ufid))
+    def _mono_observe_and_extend(self, frame, gray, fid):
+        """Record 2D observations, triangulate matured pending tracks, and
+        seed fresh (world-less) landmarks from new corners
+        (Tracking/LocalMapping::CreateNewMapPoints semantics)."""
+        xn = self._normalize(self._track_px)
+        for i, lmid in enumerate(self._track_lm):
+            self.landmarks[int(lmid)].obs2d[fid] = xn[i]
+        n_obs_kf = int(len(self._track_lm))
+
+        # triangulate pending landmarks that now have >= 2 observations
+        new_xyz, new_col = self._mono_triangulate_pending()
+
+        need = self.max_corners - len(self._track_px)
+        if need > 0:
+            fresh = detect_corners(gray, need, avoid=self._track_px)
+            if len(fresh):
+                h, w = gray.shape
+                xi = np.clip(fresh[:, 0].astype(int), 0, w - 1)
+                yi = np.clip(fresh[:, 1].astype(int), 0, h - 1)
+                cols = frame.color[yi, xi].astype(np.float32)
+                xnf = self._normalize(fresh)
+                ids = []
+                for j in range(len(fresh)):
+                    lm = _Landmark(world=None, color=cols[j], obs={},
+                                   created_kf=fid)
+                    lm.obs2d[fid] = xnf[j]
+                    self.landmarks[self._next_lm] = lm
+                    ids.append(self._next_lm)
+                    self._next_lm += 1
+                self._track_lm = np.concatenate(
+                    [self._track_lm, np.asarray(ids, np.int64)])
+                self._track_px = np.concatenate([self._track_px, fresh])
+        return new_xyz, new_col, n_obs_kf
+
+    def _mono_triangulate_pending(self) -> tuple[list, list]:
+        """DLT-triangulate world-less landmarks with >= 2 live-KF
+        observations and sufficient parallax; returns their (xyz, color)
+        lists (the op's new map points)."""
+        new_xyz, new_col = [], []
+        for lm in self.landmarks.values():
+            if lm.world is not None:
+                continue
+            fids = [f for f in lm.obs2d if f in self.keyframes]
+            if len(fids) < 2:
+                continue
+            Rs = np.stack([self.keyframes[f].R for f in fids])
+            ts = np.stack([self.keyframes[f].t for f in fids])
+            xs = np.stack([lm.obs2d[f] for f in fids])
+            # parallax gate: bearing angle between first/last observers
+            b0 = Rs[0].T @ np.array([xs[0, 0], xs[0, 1], 1.0])
+            b1 = Rs[-1].T @ np.array([xs[-1, 0], xs[-1, 1], 1.0])
+            cosang = float(b0 @ b1 /
+                           (np.linalg.norm(b0) * np.linalg.norm(b1)))
+            if cosang > 0.99995:   # < ~0.57 deg of parallax
+                continue
+            X = triangulate_multi(Rs, ts, xs)
+            if X is None:
+                continue
+            cams = np.einsum("kij,j->ki", Rs, X) + ts
+            if np.any(cams[:, 2] < 1e-3):
+                continue
+            # reprojection check
+            proj = cams[:, :2] / cams[:, 2:3]
+            if float(np.max(np.linalg.norm(proj - xs, axis=1))) > 2e-2:
+                continue
+            lm.world = X
+            new_xyz.append(X)
+            new_col.append(lm.color)
+        return new_xyz, new_col
+
+    def _mono_scale_update(self, frame: RGBDFrame) -> None:
+        """Compare predicted landmark depths against the frame's metric
+        depth sensor; once enough keyframes agree, rescale the whole map +
+        trajectory and publish SCALE_REFINEMENT (scale s, identity rigid
+        part; the origin KF rides first so the mapper's pose-diff
+        reconstruction is exact — mapper._handle_scale_refinement)."""
+        ratios = []
+        px = self._track_px
+        if len(px) == 0:
+            return
+        h, w = frame.depth.shape
+        xi = np.clip(px[:, 0].round().astype(int), 0, w - 1)
+        yi = np.clip(px[:, 1].round().astype(int), 0, h - 1)
+        d_sensor = frame.depth[yi, xi]
+        for i, lmid in enumerate(self._track_lm):
+            lm = self.landmarks[int(lmid)]
+            if lm.world is None:
+                continue
+            z = float(self._cur_R[2] @ lm.world + self._cur_t[2])
+            ds = float(d_sensor[i])
+            if z > 1e-3 and self.min_depth < ds < self.max_depth:
+                ratios.append(ds / z)
+        if len(ratios) < self.min_inliers:
+            return
+        self._scale_obs.append(float(np.median(ratios)))
+        if len(self._scale_obs) < self.scale_refine_kfs:
+            return
+        s = float(np.median(self._scale_obs))
+        self._scale_obs = []
+        if not (0.2 < s < 100.0) or abs(s - 1.0) < 0.02:
+            return
+        self._apply_global_scale(s)
+        self.mono_scale *= s
+        self.n_scale_refinements += 1
+        packets = [self._pose_packet(f) for f in self._kf_order]
         self.queue.push(MappingOperation(
-            kind=OpKind.LOCAL_BA, keyframes=packets,
-            points_xyz=np.asarray(new_xyz, np.float32).reshape(-1, 3),
-            points_color=np.asarray(new_col, np.float32).reshape(-1, 3)))
+            kind=OpKind.SCALE_REFINEMENT, keyframes=packets, scale=s))
 
-        if self.enable_loop_closing:
-            self._try_loop_close(kf)
-        self._cull_keyframes()
-        return packets[0]
+    def _apply_global_scale(self, s: float) -> None:
+        """world <- s * world across landmarks, keyframes, and the stored
+        trajectory (w2c translations scale with the map)."""
+        for lm in self.landmarks.values():
+            if lm.world is not None:
+                lm.world = (lm.world * s).astype(np.float32)
+            lm.obs = {f: (c * s).astype(np.float32)
+                      for f, c in lm.obs.items()}
+        for kf in self.keyframes.values():
+            kf.t = (kf.t * s).astype(np.float32)
+        for f, T in self._kf_final.items():
+            T[:3, 3] *= s
+        for f, c2w in self.poses.items():
+            c2w[:3, 3] *= s
+        for f, (ref_fid, T_rel) in self._frame_ref.items():
+            T_rel = T_rel.copy()
+            T_rel[:3, 3] *= s
+            self._frame_ref[f] = (ref_fid, T_rel)
+        self._cur_t = (self._cur_t * s).astype(np.float32)
 
     def _packet_for(self, fid: int, frame: RGBDFrame,
                     lf_image: Optional[np.ndarray]) -> KeyframePacket:
         kf = self.keyframes[fid]
         # keypoint export (KeyFrame::GetKeypointInfo contract): tracked
-        # pixels + camera-local points, z=-1 when the landmark has no depth
-        cam, ok = self._lift(self._track_px, frame.depth)
-        pts_local = np.where(ok[:, None], cam,
-                             np.full_like(cam, -1.0))
+        # pixels + camera-local points, z=-1 when the landmark has no
+        # depth / triangulation yet
+        if self.sensor == "mono":
+            pts_local = np.full((len(self._track_px), 3), -1.0, np.float32)
+            for i, lmid in enumerate(self._track_lm):
+                w = self.landmarks[int(lmid)].world
+                if w is not None:
+                    p = kf.R @ w + kf.t
+                    if p[2] > 0:
+                        pts_local[i] = p
+        else:
+            cam, ok = self._lift(self._track_px, frame.depth)
+            pts_local = np.where(ok[:, None], cam,
+                                 np.full_like(cam, -1.0))
         return KeyframePacket(
             fid=fid, timestamp=float(frame.timestamp), R=kf.R, t=kf.t,
             color=kf.color, depth=kf.depth, lf_image=lf_image,
+            color_right=self._cur_right if self.sensor == "stereo"
+            else None,
             kp_pixels=self._track_px.copy(), kp_points_local=pts_local)
 
     def _pose_packet(self, fid: int) -> KeyframePacket:
@@ -486,6 +1329,51 @@ class TrackingFrontend:
 
     # -- local BA ----------------------------------------------------------
     def _local_ba(self) -> list[int]:
+        if self.sensor == "mono":
+            return self._mono_local_ba()
+        return self._rgbd_local_ba()
+
+    def _mono_local_ba(self) -> list[int]:
+        """Monocular sliding-window refinement: alternate multi-view DLT
+        re-triangulation and per-KF motion-only PnP (the 2D analogue of
+        the RGB-D block-coordinate descent below; the reference's
+        Optimizer::LocalBundleAdjustment)."""
+        window = self._kf_order[-self.ba_window:]
+        if len(window) < 2:
+            return []
+        wset = set(window)
+        touched = [lm for lm in self.landmarks.values()
+                   if lm.world is not None
+                   and any(f in wset for f in lm.obs2d)]
+        for _ in range(self.ba_sweeps):
+            for lm in touched:
+                fids = [f for f in lm.obs2d if f in self.keyframes]
+                if len(fids) < 2:
+                    continue
+                Rs = np.stack([self.keyframes[f].R for f in fids])
+                ts = np.stack([self.keyframes[f].t for f in fids])
+                xs = np.stack([lm.obs2d[f] for f in fids])
+                X = triangulate_multi(Rs, ts, xs)
+                if X is not None and np.all(
+                        (np.einsum("kij,j->ki", Rs, X) + ts)[:, 2] > 1e-3):
+                    lm.world = X
+            for f in window[1:]:
+                k = self.keyframes[f]
+                A, B = [], []
+                for lm in touched:
+                    if f in lm.obs2d:
+                        A.append(lm.world)
+                        B.append(lm.obs2d[f])
+                if len(A) >= 6:
+                    R, t, inl = pnp_gn(np.asarray(A), np.asarray(B),
+                                       k.R, k.t)
+                    if R is not None and inl.sum() >= self.min_inliers:
+                        k.R, k.t = R, t
+        newest = self.keyframes[window[-1]]
+        self._cur_R, self._cur_t = newest.R.copy(), newest.t.copy()
+        return window[1:]
+
+    def _rgbd_local_ba(self) -> list[int]:
         """Sliding-window refinement by block-coordinate descent:
         (a) landmark <- mean of backprojections from ALL observing KFs
         (outside-window observers anchor the gauge), (b) window KF pose <-
@@ -536,9 +1424,10 @@ class TrackingFrontend:
                 continue
             n_obs, n_red = 0, 0
             for lm in self.landmarks.values():
-                if fid in lm.obs:
+                obs_f = lm.obs if lm.obs else lm.obs2d
+                if fid in obs_f:
                     n_obs += 1
-                    others = sum(1 for f in lm.obs
+                    others = sum(1 for f in obs_f
                                  if f != fid and f in self.keyframes)
                     if others >= 4:
                         n_red += 1
@@ -552,7 +1441,8 @@ class TrackingFrontend:
         active = set(int(i) for i in self._track_lm)
         dead = [i for i, lm in self.landmarks.items()
                 if i not in active and
-                not any(f in self.keyframes for f in lm.obs)]
+                not any(f in self.keyframes for f in lm.obs) and
+                not any(f in self.keyframes for f in lm.obs2d)]
         for i in dead:
             del self.landmarks[i]
 
@@ -565,6 +1455,7 @@ class TrackingFrontend:
             self._kf_final[fid] = T
         for lm in self.landmarks.values():
             lm.obs.pop(fid, None)
+            lm.obs2d.pop(fid, None)
         self.queue.remove_keyframe(fid)
 
     # -- loop closing --------------------------------------------------

@@ -1,0 +1,179 @@
+"""Monocular tracking mode + relocalization (C17 scope, round-3 VERDICT
+items): essential-matrix two-view init, PnP tracking, DLT triangulation,
+depth-borrow SCALE_REFINEMENT emission, and blackout recovery.
+
+Reference behaviors covered: Tracking::MonocularInitialization +
+TwoViewReconstruction (ORB-SLAM3/src/Tracking.cc), Optimizer::
+PoseOptimization (motion-only), Tracking::Relocalization, and the
+ScaleRefinement MappingOperation push (src/LocalMapping.cc:1300-1304).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from legslam_tpu.data.synthetic import SyntheticDataset
+from legslam_tpu.eval_harness.metrics import ate_rmse
+from legslam_tpu.slam import tracking as T
+from legslam_tpu.slam.interface import OpKind
+
+
+def _rand_pose(rng, max_ang=0.5, max_t=0.5):
+    ang = rng.uniform(0.05, max_ang)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+    return R.astype(np.float32), \
+        (max_t * rng.normal(size=3)).astype(np.float32)
+
+
+def _project(world, R, t):
+    cam = world @ R.T + t
+    return cam[:, :2] / cam[:, 2:3], cam[:, 2]
+
+
+def test_essential_recovers_relative_pose():
+    rng = np.random.default_rng(0)
+    world = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    world[:, 2] += 4.0
+    R, t = _rand_pose(rng, max_ang=0.3, max_t=0.4)
+    t = t / np.linalg.norm(t)
+    x1, z1 = _project(world, np.eye(3, dtype=np.float32),
+                      np.zeros(3, np.float32))
+    x2, z2 = _project(world, R, t)
+    E, inl = T.essential_ransac(x1, x2, rng)
+    assert E is not None and inl.sum() > 150
+    Rh, th, good = T.decompose_essential(E, x1[inl], x2[inl])
+    assert Rh is not None
+    np.testing.assert_allclose(Rh, R, atol=1e-3)
+    # translation recovered up to scale
+    cos = abs(float(th @ t)) / (np.linalg.norm(th) * np.linalg.norm(t))
+    assert cos > 0.999
+
+
+def test_pnp_gn_recovers_pose_with_outliers():
+    rng = np.random.default_rng(1)
+    world = rng.uniform(-2, 2, (120, 3)).astype(np.float32)
+    world[:, 2] += 5.0
+    R, t = _rand_pose(rng, max_ang=0.2, max_t=0.3)
+    xn, _ = _project(world, R, t)
+    xn[::10] += 0.1  # 10% gross outliers
+    R0 = np.eye(3, dtype=np.float32)  # far init
+    Rh, th, inl = T.pnp_gn(world, xn, R0, np.zeros(3, np.float32),
+                           iters=30)
+    assert Rh is not None
+    # re-run from the first estimate (Huber trims the outliers)
+    Rh, th, inl = T.pnp_gn(world[inl], xn[inl], Rh, th, iters=20)
+    np.testing.assert_allclose(Rh, R, atol=2e-3)
+    np.testing.assert_allclose(th, t, atol=2e-2)
+
+
+def test_triangulate_multi_exact():
+    rng = np.random.default_rng(2)
+    X = np.array([0.3, -0.2, 4.0], np.float32)
+    Rs, ts, xs = [], [], []
+    for _ in range(4):
+        R, t = _rand_pose(rng, max_ang=0.3, max_t=0.5)
+        Rs.append(R)
+        ts.append(t)
+        cam = R @ X + t
+        xs.append(cam[:2] / cam[2])
+    Xh = T.triangulate_multi(np.stack(Rs), np.stack(ts), np.stack(xs))
+    np.testing.assert_allclose(Xh, X, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def mono_seq():
+    ds = SyntheticDataset(n_frames=24, width=256, height=144,
+                          n_gaussians=7000, revolutions=0.15,
+                          clutter_ratio=0.0)
+    frames = [ds.read(i) for i in range(len(ds))]
+    return ds, frames
+
+
+@pytest.mark.slow
+def test_mono_tracking_ate_up_to_scale(mono_seq):
+    """Pure monocular (no depth at all): bounded ATE after
+    Umeyama-with-scale alignment."""
+    ds, frames = mono_seq
+    fe = T.TrackingFrontend(ds.intrinsics, sensor="mono")
+    for fr in frames:
+        fe.track(dataclasses.replace(fr, c2w=None, depth=None))
+    assert fe.initialized
+    assert fe.num_keyframes >= 3
+    fids, traj = fe.trajectory()
+    gt = np.stack([frames[int(i)].c2w for i in fids])
+    ate = ate_rmse(traj[:, :3, 3], gt[:, :3, 3])  # with_scale default
+    assert ate["rmse"] < 0.08, ate
+
+
+@pytest.mark.slow
+def test_mono_scale_refinement_emitted_and_metric(mono_seq):
+    """Mono tracking with a depth sensor available for scale borrowing:
+    SCALE_REFINEMENT ops are published and the trajectory becomes METRIC
+    (bounded ATE without scale alignment)."""
+    ds, frames = mono_seq
+    fe = T.TrackingFrontend(ds.intrinsics, sensor="mono",
+                            scale_refine_kfs=2)
+    ops = []
+    for fr in frames:
+        fe.track(dataclasses.replace(fr, c2w=None))  # depth stays
+        while fe.queue.has_operation():
+            ops.append(fe.queue.pop_operation())
+    kinds = [op.kind for op in ops]
+    assert OpKind.SCALE_REFINEMENT in kinds, kinds
+    sr = [op for op in ops if op.kind == OpKind.SCALE_REFINEMENT]
+    assert all(0.2 < op.scale < 100.0 for op in sr)
+    assert abs(fe.mono_scale - 1.0) > 0.01  # scale actually moved
+    fids, traj = fe.trajectory()
+    gt = np.stack([frames[int(i)].c2w for i in fids])
+    ate = ate_rmse(traj[:, :3, 3], gt[:, :3, 3], with_scale=False)
+    assert ate["rmse"] < 0.12, ate
+
+
+@pytest.mark.slow
+def test_rgbd_relocalization_after_blackout(mono_seq):
+    """Blacked-out frames lose tracking; the frontend relocalizes against
+    the keyframe store when frames return (Tracking::Relocalization
+    contract) instead of drifting at identity."""
+    ds, frames = mono_seq
+    fe = T.TrackingFrontend(ds.intrinsics, ransac_thresh=0.1,
+                            reloc_after=2)
+    black = dataclasses.replace(
+        frames[0], color=np.zeros_like(frames[0].color), c2w=None)
+    seq = frames[:12] + [dataclasses.replace(black, index=100 + i)
+                         for i in range(4)] + frames[10:]
+    for fr in seq:
+        fe.track(dataclasses.replace(fr, c2w=None))
+    assert fe.lost_frames > 0
+    assert fe.n_relocalizations >= 1
+    # the post-blackout tail must be tracked near GT again
+    fids, traj = fe.trajectory()
+    tail = [i for i, f in enumerate(fids) if f >= 15 and f < 100]
+    gt = np.stack([frames[int(fids[i])].c2w for i in tail])
+    est = traj[tail]
+    ate = ate_rmse(est[:, :3, 3], gt[:, :3, 3])
+    assert ate["rmse"] < 0.1, ate
+
+
+@pytest.mark.slow
+def test_mono_packets_feed_mapper_contract(mono_seq):
+    """Mono keyframe packets satisfy the bridge contract the mapper's
+    monocular densify branch expects: kp_points_local z = -1 for
+    untriangulated tracks, valid camera-local z for triangulated ones."""
+    ds, frames = mono_seq
+    fe = T.TrackingFrontend(ds.intrinsics, sensor="mono")
+    packets = []
+    for fr in frames:
+        p = fe.track(dataclasses.replace(fr, c2w=None, depth=None))
+        if p is not None:
+            packets.append(p)
+    assert len(packets) >= 2
+    last = packets[-1]
+    assert last.depth is None
+    assert last.kp_points_local is not None
+    z = last.kp_points_local[:, 2]
+    assert (z > 0).sum() >= 10          # triangulated landmarks exported
+    assert (z == -1).sum() >= 1         # pending tracks marked
