@@ -151,16 +151,25 @@ def main(argv=None):
     # GpuPeakUsageMB.txt equivalent (examples/replica_rgbd.cpp:280-294)
     from legslam_tpu.utils.runtime import save_peak_memory
     save_peak_memory(os.path.join(args.out, "TpuPeakUsageMB.txt"))
-    # TUM-format trajectory (GT-pose frontend: poses are the input poses)
-    with open(os.path.join(args.out, "CameraTrajectory_TUM.txt"), "w") as f:
-        for fid, kf in sorted(mapper.keyframes.items()):
-            c2w_R = kf.R.T
-            c = -(kf.R.T @ kf.t)
-            from legslam_tpu.models.gaussians import rotmat_to_quat
-            import jax.numpy as jnp
-            q = np.asarray(rotmat_to_quat(jnp.asarray(c2w_R)))
-            f.write(f"{kf.timestamp} {c[0]} {c[1]} {c[2]} "
-                    f"{q[1]} {q[2]} {q[3]} {q[0]}\n")
+    # trajectory artifacts in all three reference formats
+    # (System::SaveTrajectoryTUM/EuRoC/KITTI, examples/replica_rgbd.cpp:
+    # 208-218; GT-pose frontend: poses are the input poses)
+    from legslam_tpu.utils.trajectory_io import (save_trajectory_euroc,
+                                                 save_trajectory_kitti,
+                                                 save_trajectory_tum)
+    stamps, c2ws = [], []
+    for fid, kf in sorted(mapper.keyframes.items()):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = kf.R.T
+        T[:3, 3] = -(kf.R.T @ kf.t)
+        stamps.append(kf.timestamp)
+        c2ws.append(T)
+    save_trajectory_tum(
+        os.path.join(args.out, "CameraTrajectory_TUM.txt"), stamps, c2ws)
+    save_trajectory_euroc(
+        os.path.join(args.out, "CameraTrajectory_EuRoC.txt"), stamps, c2ws)
+    save_trajectory_kitti(
+        os.path.join(args.out, "CameraTrajectory_KITTI.txt"), stamps, c2ws)
 
     print(f"Total time: {total:.2f}")
     print(f"Average FPS: {n / total:.3f}")

@@ -52,6 +52,8 @@ class RGBDFrame:
     depth: np.ndarray            # [H, W] float32 meters (0 = invalid)
     c2w: Optional[np.ndarray]    # [4, 4] camera-to-world GT pose or None
     color_path: str = ""
+    # rectified right image for stereo sequences (EuRoC cam1)
+    color_right: Optional[np.ndarray] = None
 
 
 def _imread_color(path: str) -> np.ndarray:
@@ -215,6 +217,120 @@ class TUMDataset(BaseDataset):
         return dataclasses.replace(frame, timestamp=self._stamps[i])
 
 
+class EuRoCStereoDataset(BaseDataset):
+    """EuRoC MAV ASL layout (mav0/cam0, mav0/cam1, ground truth in
+    state_groundtruth_estimate0). The reference consumes EuRoC through
+    ORB-SLAM3's stereo examples and writes SaveTrajectoryEuRoC
+    (ORB-SLAM3/include/System.h:123); frames here carry the rectified-ish
+    cam1 image as color_right for the stereo frontend / SGM densify
+    branch. depth is None — stereo depth comes from census+SGM."""
+
+    depth_scale = 1.0
+
+    def __init__(self, seq_dir: str, max_dt_ns: int = 10_000_000):
+        mav = os.path.join(seq_dir, "mav0")
+        cam0 = self._read_cam_csv(os.path.join(mav, "cam0"))
+        cam1 = self._read_cam_csv(os.path.join(mav, "cam1"))
+        # pair cam0/cam1 by nearest timestamp
+        self._color_paths, self._right_paths, self._stamps = [], [], []
+        ts1 = np.asarray([t for t, _ in cam1], np.int64)
+        for t, p in cam0:
+            j = int(np.argmin(np.abs(ts1 - t)))
+            if abs(int(ts1[j]) - t) <= max_dt_ns:
+                self._color_paths.append(p)
+                self._right_paths.append(cam1[j][1])
+                self._stamps.append(t * 1e-9)
+        self._depth_paths = [None] * len(self._color_paths)
+
+        y0 = _parse_asl_yaml(os.path.join(mav, "cam0", "sensor.yaml"))
+        y1 = _parse_asl_yaml(os.path.join(mav, "cam1", "sensor.yaml"))
+        fu, fv, cu, cv_ = y0.get("intrinsics", [458.654, 457.296,
+                                                367.215, 248.375])[:4]
+        res = y0.get("resolution", [752, 480])
+        self.intrinsics = dict(width=int(res[0]), height=int(res[1]),
+                               fx=float(fu), fy=float(fv),
+                               cx=float(cu), cy=float(cv_))
+        self.distortion = np.asarray(
+            y0.get("distortion_coefficients", [0, 0, 0, 0]), np.float32)
+        T0 = np.asarray(y0.get("T_BS", np.eye(4).ravel().tolist()),
+                        np.float32).reshape(4, 4)
+        T1 = np.asarray(y1.get("T_BS", np.eye(4).ravel().tolist()),
+                        np.float32).reshape(4, 4)
+        self.T_body_cam0 = T0
+        # stereo baseline = cam0->cam1 translation norm (~0.11 m on EuRoC)
+        self.baseline = float(np.linalg.norm(
+            (np.linalg.inv(T1) @ T0)[:3, 3]))
+
+        # GT body poses -> cam0 c2w at frame timestamps (nearest neighbor)
+        self._poses = None
+        gt_csv = os.path.join(mav, "state_groundtruth_estimate0",
+                              "data.csv")
+        if os.path.exists(gt_csv):
+            rows = np.genfromtxt(gt_csv, delimiter=",", comments="#")
+            if rows.ndim == 1:
+                rows = rows[None]
+            gt_ts = rows[:, 0].astype(np.int64)
+            poses = []
+            for t in self._stamps:
+                j = int(np.argmin(np.abs(gt_ts - int(t * 1e9))))
+                p = rows[j, 1:4]
+                qw, qx, qy, qz = rows[j, 4:8]
+                R = _quat_to_rot(qw, qx, qy, qz)
+                T_WB = np.eye(4, dtype=np.float32)
+                T_WB[:3, :3], T_WB[:3, 3] = R, p
+                poses.append((T_WB @ self.T_body_cam0).astype(np.float32))
+            self._poses = poses
+
+    @staticmethod
+    def _read_cam_csv(cam_dir: str):
+        out = []
+        csv = os.path.join(cam_dir, "data.csv")
+        with open(csv) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                ts, name = line.strip().split(",")[:2]
+                out.append((int(ts),
+                            os.path.join(cam_dir, "data", name.strip())))
+        return out
+
+    def read(self, i: int) -> RGBDFrame:
+        return RGBDFrame(
+            index=i, timestamp=self._stamps[i],
+            color=_imread_color(self._color_paths[i]),
+            depth=None, c2w=self._pose(i),
+            color_path=self._color_paths[i],
+            color_right=_imread_color(self._right_paths[i]))
+
+
+def _quat_to_rot(w, x, y, z):
+    n = np.sqrt(w * w + x * x + y * y + z * z)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def _parse_asl_yaml(path: str) -> dict:
+    """Minimal parser for EuRoC sensor.yaml: scalar lists ([a, b, ...])
+    and the T_BS rows/cols/data block. No external yaml dependency."""
+    out = {}
+    if not os.path.exists(path):
+        return out
+    text = open(path).read()
+    for key in ("intrinsics", "distortion_coefficients", "resolution"):
+        m = re.search(rf"^{key}:\s*\[([^\]]*)\]", text, re.M)
+        if m:
+            out[key] = [float(v) for v in m.group(1).split(",")]
+    m = re.search(r"T_BS:.*?data:\s*\[([^\]]*)\]", text, re.S)
+    if m:
+        out["T_BS"] = [float(v) for v in
+                       m.group(1).replace(chr(10), " ").split(",")]
+    return out
+
+
 def open_dataset(path: str) -> BaseDataset:
     """Sniff the dataset type from the directory layout, like the reference
     sniffs from the path string (examples/replica_rgbd.cpp:76-79)."""
@@ -224,4 +340,6 @@ def open_dataset(path: str) -> BaseDataset:
         return ScanNetDataset(path)
     if os.path.exists(os.path.join(path, "rgb.txt")):
         return TUMDataset(path)
+    if os.path.isdir(os.path.join(path, "mav0")):
+        return EuRoCStereoDataset(path)
     raise ValueError(f"unrecognized dataset layout at {path}")
