@@ -51,10 +51,17 @@ def main():
     # vs exact f32): color max err 4e-3, grad cosine 0.999997, transmittance
     # exact (hi/lo prefix split) — far below mapping-convergence noise
     mm_dtype = os.environ.get("BENCH_MM_DTYPE", "bfloat16")
+    # MXU-basis gaussian-exponent evaluation (quality pinned in
+    # tests/test_power_mode.py, same contract shape as mm_dtype).
+    # Measured NEUTRAL-to-slightly-worse on v5e (fwd 57.5 vs 52 ms,
+    # bwd 70.7 vs 73, step 150 vs 144) — the kernels are DMA/row-rate
+    # bound, not VPU bound; kept as a knob, default off.
+    power_mode = os.environ.get("BENCH_POWER_MODE", "vpu")
     cfg = RasterizeConfig(
         tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
         chunk=256, tile_batch=16, backend=backend,
-        max_pairs=1 << (16 if smoke else 20), mm_dtype=mm_dtype)
+        max_pairs=1 << (16 if smoke else 20), mm_dtype=mm_dtype,
+        power_mode=power_mode)
     opt = OptimizationParams()
 
     rng = np.random.default_rng(0)

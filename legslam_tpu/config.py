@@ -173,6 +173,14 @@ class RasterizeConfig:
     # per-bucket pair capacity (multiple of chunk); only used when
     # n_buckets > 1. Total gathered pairs = n_buckets * bucket_cap.
     bucket_cap: int = 1 << 16
+    # Gaussian-exponent evaluation in the pallas kernels: "vpu" (exact;
+    # the parity oracle: per-element quadratic form on the VPU) or "mxu"
+    # (the [npix, chunk] power plane as ONE [npix, 8] @ [8, chunk] MXU
+    # matmul over a tile-centered quadratic pixel basis — removes the
+    # kernels' dominant per-element VPU chain; worst-case exponent error
+    # ~1e-3 for lowpass-clamped gaussians, quality pinned in
+    # tests/test_power_mode.py).
+    power_mode: str = "vpu"
     # MXU input dtype for the pallas compositing matmuls and the pair
     # feature store: "float32" (exact; the parity oracle) or "bfloat16"
     # (native MXU rate, ~4x matmul throughput + half the feature

@@ -95,30 +95,38 @@ def _blur(img: jnp.ndarray, window_size: int = SSIM_WINDOW,
     dimension), so each pass is instead a dense banded matmul over the
     blurred axis — [H,H] @ [H, W*C] then [W,W] @ [W, H*C] — which XLA tiles
     at full MXU utilization (~GMAC-scale, sub-ms; the conv form measured
-    tens of ms per train step on v5e). Numerically identical to the
-    zero-padded conv up to f32 summation order."""
+    tens of ms per train step on v5e). Precision HIGH (bf16x3 on TPU,
+    ~1e-7 relative — exact f32 on CPU) at half the MXU passes of HIGHEST;
+    the SSIM statistics sit far above that noise floor."""
     h, w, c = img.shape
     mh = jnp.asarray(_band_matrix(h, window_size, sigma))
     mw = jnp.asarray(_band_matrix(w, window_size, sigma))
     x = jnp.dot(mh, img.reshape(h, w * c),
-                precision=jax.lax.Precision.HIGHEST).reshape(h, w, c)
+                precision=jax.lax.Precision.HIGH).reshape(h, w, c)
     y = jnp.dot(mw, x.transpose(1, 0, 2).reshape(w, h * c),
-                precision=jax.lax.Precision.HIGHEST).reshape(w, h, c)
+                precision=jax.lax.Precision.HIGH).reshape(w, h, c)
     return y.transpose(1, 0, 2)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
          window_size: int = SSIM_WINDOW, sigma: float = SSIM_SIGMA
          ) -> jnp.ndarray:
-    """Mean SSIM map, matching loss_utils.h:76-116 (zero-padded conv)."""
-    mu1 = _blur(img1, window_size, sigma)
-    mu2 = _blur(img2, window_size, sigma)
+    """Mean SSIM map, matching loss_utils.h:76-116 (zero-padded conv).
+
+    All five blurred statistics ride ONE banded-matmul pair by stacking
+    along the channel axis (5x wider RHS beats 5 separate dispatches and
+    amortizes reading the band matrices)."""
+    c = img1.shape[-1]
+    stack = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
+    b = _blur(stack, window_size, sigma)
+    mu1, mu2 = b[..., :c], b[..., c:2 * c]
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window_size, sigma) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window_size, sigma) - mu2_sq
-    sigma12 = _blur(img1 * img2, window_size, sigma) - mu1_mu2
+    sigma1_sq = b[..., 2 * c:3 * c] - mu1_sq
+    sigma2_sq = b[..., 3 * c:4 * c] - mu2_sq
+    sigma12 = b[..., 4 * c:] - mu1_mu2
     ssim_map = ((2 * mu1_mu2 + SSIM_C1) * (2 * sigma12 + SSIM_C2)) / \
                ((mu1_sq + mu2_sq + SSIM_C1) * (sigma1_sq + sigma2_sq + SSIM_C2))
     return jnp.mean(ssim_map)

@@ -50,6 +50,47 @@ def _mm(x, y, mm_dtype):
                                preferred_element_type=jnp.float32)
 
 
+def _power_basis(pix_lin, tile_w, tile_h):
+    """[npix, 8] quadratic pixel basis in TILE-CENTERED coordinates:
+    [1, x, y, x^2, y^2, x*y, 0, 0].
+
+    The per-(pixel, pair) Gaussian exponent is a quadratic form in the
+    pixel coordinate, so the whole [npix, chunk] `power` plane is ONE tiny
+    MXU matmul basis @ coef instead of a ~11-op VPU chain per element (the
+    kernels' dominant VPU cost at bench shapes). Tile-centered coordinates
+    keep |x| <= 64, bounding the expansion's cancellation error at
+    ~ca*64^2*eps_f32 ~ 1e-3 worst-case for the smallest (lowpass-clamped)
+    gaussians — measured end-to-end color error vs the VPU path is pinned
+    in tests/test_power_mode.py. Rows 6-7 pad the f32 sublane tile."""
+    npix = tile_w * tile_h
+    xl = (pix_lin % tile_w).astype(jnp.float32) - (tile_w - 1) * 0.5
+    yl = (pix_lin // tile_w).astype(jnp.float32) - (tile_h - 1) * 0.5
+    ones = jnp.ones((npix, 1), jnp.float32)
+    return jnp.concatenate(
+        [ones, xl, yl, xl * xl, yl * yl, xl * yl,
+         jnp.zeros((npix, 2), jnp.float32)], axis=1)
+
+
+def _power_coef(gxl, gyl, ca, cb, cc):
+    """[8, chunk] per-pair coefficient rows for the quadratic basis.
+    gxl/gyl are the gaussian centers in the SAME tile-centered frame."""
+    c0 = -0.5 * (ca * gxl * gxl + cc * gyl * gyl) - cb * gxl * gyl
+    c1 = ca * gxl + cb * gyl
+    c2 = cc * gyl + cb * gxl
+    zeros = jnp.zeros_like(ca)
+    return jnp.concatenate(
+        [c0, c1, c2, -0.5 * ca, -0.5 * cc, -cb, zeros, zeros], axis=0)
+
+
+def _power_mm(basis, coef):
+    """power[npix, chunk] = basis @ coef; k=8 so the matmul is ~3% of the
+    prefix matmul's flops even at HIGHEST (f32) precision."""
+    return jax.lax.dot_general(
+        basis, coef, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _tri_prefix(log1m, u, mm_dtype):
     """log1m @ triangular-ones. The prefix feeds exp(), so input
     quantization error compounds into the transmittance; under bf16 we
@@ -69,7 +110,8 @@ def _tri_prefix(log1m, u, mm_dtype):
 def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
                     out_ref, tfin_ref, *, chunk: int, tile_w: int,
                     tile_h: int, ntx: int, c_out: int, pairs_pad: int,
-                    n_buckets: int, mm_dtype: str = "float32"):
+                    n_buckets: int, mm_dtype: str = "float32",
+                    power_mode: str = "vpu"):
     t = pl.program_id(0)
     npix = tile_h * tile_w
 
@@ -77,8 +119,13 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     ty = (t // ntx) * tile_h
     # flattened pixel coordinates [npix, 1]
     pix_lin = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
-    px = (tx + pix_lin % tile_w).astype(jnp.float32)
-    py = (ty + pix_lin // tile_w).astype(jnp.float32)
+    if power_mode == "mxu":
+        basis = _power_basis(pix_lin, tile_w, tile_h)
+        cx = tx + (tile_w - 1) * 0.5   # tile-centered frame origin
+        cy = ty + (tile_h - 1) * 0.5
+    else:
+        px = (tx + pix_lin % tile_w).astype(jnp.float32)
+        py = (ty + pix_lin // tile_w).astype(jnp.float32)
 
     def body(geo_buf, feat_buf, geo_sem, feat_sem):
         # geo_buf/feat_buf are double-buffered ([2, ...]); fetch k+1 is in
@@ -132,9 +179,14 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
                 cc = geo_buf[slot, GEO_C:GEO_C + 1, :]
                 op = geo_buf[slot, GEO_OP:GEO_OP + 1, :]
 
-                dx = gx - px          # [npix, chunk]
-                dy = gy - py
-                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                if power_mode == "mxu":
+                    power = _power_mm(
+                        basis, _power_coef(gx - cx, gy - cy, ca, cb, cc))
+                else:
+                    dx = gx - px          # [npix, chunk]
+                    dy = gy - py
+                    power = (-0.5 * (ca * dx * dx + cc * dy * dy)
+                             - cb * dx * dy)
 
                 lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
                 pos = off + lane
@@ -197,59 +249,6 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
     )
 
 
-@jax.custom_vjp
-def _chunked_take(src: jnp.ndarray, idx: jnp.ndarray,
-                  nvalid: jnp.ndarray) -> jnp.ndarray:
-    """Row gather via lax.map chunks: XLA's single big gather both
-    compile-hangs and runs slowly on this TPU stack; 64 chunked gathers
-    compile fast and run ~4x faster (measured).
-
-    The gather is ROW-RATE-bound (~30 ns/row), so chunks whose start lies
-    past `nvalid` (valid pairs occupy the sorted prefix; the rest are
-    sentinels the kernel never reads) skip the gather entirely via
-    lax.cond and emit zeros — at bench scale that is ~40% of the rows.
-
-    Custom VJP: autodiff of the chunked map would scan 64 scatter-adds,
-    each carrying the FULL [P, C] accumulator (~17 GB of HBM traffic at
-    production scale, measured 187 ms); one flat scatter-add costs ~43 ms.
-    """
-    n = idx.shape[0]
-    n_chunks = 64
-    assert n % n_chunks == 0, (n, n_chunks)
-    rows = n // n_chunks
-
-    def one(args):
-        ix, active = args
-        return jax.lax.cond(
-            active,
-            lambda: src[ix],
-            lambda: jnp.zeros((rows,) + src.shape[1:], src.dtype))
-
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * rows
-    out = jax.lax.map(one, (idx.reshape(n_chunks, rows),
-                            starts < nvalid))
-    return out.reshape((n,) + src.shape[1:])
-
-
-def _chunked_take_fwd(src, idx, nvalid):
-    # src rides along as a residual only to carry its shape/dtype (no copy)
-    return _chunked_take(src, idx, nvalid), (idx, src)
-
-
-def _chunked_take_bwd(res, g):
-    idx, src = res
-    # always accumulate the scatter-add in f32: a bf16 store would otherwise
-    # round per-collision (a gaussian has up to span() pair contributions).
-    # Sentinel pairs carry gid == P (out of range) and are dropped here
-    # instead of colliding on one row.
-    acc = jnp.float32 if src.dtype == jnp.bfloat16 else src.dtype
-    dsrc = jnp.zeros(src.shape, acc).at[idx].add(
-        g.astype(acc), mode="drop").astype(src.dtype)
-    return (dsrc, np.zeros(idx.shape, jax.dtypes.float0),
-            np.zeros((), jax.dtypes.float0))
-
-
-_chunked_take.defvjp(_chunked_take_fwd, _chunked_take_bwd)
 
 
 def _bitcast_f32_to_bf16bits(x: jnp.ndarray) -> jnp.ndarray:
@@ -296,7 +295,12 @@ def _take_pairs(feats: jnp.ndarray, geo_g: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _chunked_take_raw(src, idx, nvalid):
-    """The cond-skipped chunked gather without the VJP wrapper."""
+    """Row gather via lax.map chunks: XLA's single big gather both
+    compile-hangs and runs slowly on this TPU stack; 64 chunked gathers
+    compile fast and run ~4x faster (measured). The gather engine is
+    ROW-RATE-bound (~40 ns/row), so chunks whose start lies past `nvalid`
+    (valid pairs occupy the sorted prefix; the rest are sentinels the
+    kernel never reads) skip the gather via lax.cond and emit zeros."""
     n = idx.shape[0]
     n_chunks = 64
     assert n % n_chunks == 0, (n, n_chunks)
@@ -403,13 +407,14 @@ def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
-                     "interpret", "n_buckets", "mm_dtype"))
+                     "interpret", "n_buckets", "mm_dtype", "power_mode"))
 def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
                            pair_geo: jnp.ndarray, pair_feats: jnp.ndarray,
                            *, tile_w: int, tile_h: int, ntx: int,
                            ntiles: int, chunk: int = 256,
                            interpret: bool = False, n_buckets: int = 1,
-                           mm_dtype: str = "float32"):
+                           mm_dtype: str = "float32",
+                           power_mode: str = "vpu"):
     """Run the forward compositing kernel.
 
     Args:
@@ -432,7 +437,7 @@ def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
     kernel = functools.partial(
         _forward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
         ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets,
-        mm_dtype=mm_dtype)
+        mm_dtype=mm_dtype, power_mode=power_mode)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -469,7 +474,8 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
                            interpret: bool = False,
                            differentiable: bool = False,
                            n_buckets: int = 1,
-                           mm_dtype: str = "float32"):
+                           mm_dtype: str = "float32",
+                           power_mode: str = "vpu"):
     """Full-image forward compositing via the Pallas kernel.
 
     Accepts either a flat Binning (n_buckets=1) or a BucketedBinning (pass
@@ -492,13 +498,13 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
     if differentiable:
         from legslam_tpu.ops.pallas.composite_bwd import make_composite_vjp
         fn = make_composite_vjp(tile_w, tile_h, ntx, ntiles, chunk,
-                                interpret, n_buckets, mm_dtype)
+                                interpret, n_buckets, mm_dtype, power_mode)
         acc, tfin = fn(start, count, geo, pf)
     else:
         acc, tfin = composite_tiles_pallas(
             start, count, geo, pf, tile_w=tile_w, tile_h=tile_h, ntx=ntx,
             ntiles=ntiles, chunk=chunk, interpret=interpret,
-            n_buckets=n_buckets, mm_dtype=mm_dtype)
+            n_buckets=n_buckets, mm_dtype=mm_dtype, power_mode=power_mode)
     c_out = acc.shape[-1]
     img = acc.reshape(nty, ntx, tile_h, tile_w, c_out)
     img = img.transpose(0, 2, 1, 3, 4).reshape(

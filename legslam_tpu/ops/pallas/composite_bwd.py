@@ -40,25 +40,37 @@ from legslam_tpu.ops.pallas.composite import (
     GEO_X,
     GEO_Y,
     _mm,
+    _power_basis,
+    _power_coef,
+    _power_mm,
     composite_tiles_pallas,
 )
 
 LOG_TERM = float(np.log(T_TERMINATE))
 
 
-def _alpha_terms(geo, px, py, start, count, off, chunk):
+def _alpha_terms(geo, px, py, start, count, off, chunk, *,
+                 power_mode="vpu", basis=None, cx=None, cy=None):
     """Recompute per-chunk alpha quantities; `geo` is the loaded
     [GEO_ROWS, chunk] block (an array, so callers can index a
-    double-buffered ref slot first)."""
+    double-buffered ref slot first). With power_mode="mxu" the exponent
+    plane comes from the quadratic-basis matmul (see composite._power_mm)
+    and gx/gy are returned in the tile-centered frame (all downstream
+    moment formulas are translation invariant)."""
     gx = geo[GEO_X:GEO_X + 1, :]
     gy = geo[GEO_Y:GEO_Y + 1, :]
     ca = geo[GEO_A:GEO_A + 1, :]
     cb = geo[GEO_B:GEO_B + 1, :]
     cc = geo[GEO_C:GEO_C + 1, :]
     op = geo[GEO_OP:GEO_OP + 1, :]
-    dx = gx - px
-    dy = gy - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    if power_mode == "mxu":
+        gx = gx - cx
+        gy = gy - cy
+        power = _power_mm(basis, _power_coef(gx, gy, ca, cb, cc))
+    else:
+        dx = gx - px
+        dy = gy - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     pos = off + lane
     in_range = (pos >= start) & (pos < (start + count))
@@ -67,7 +79,7 @@ def _alpha_terms(geo, px, py, start, count, off, chunk):
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
     keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
     alpha = jnp.where(keep, alpha, 0.0)
-    return dict(dx=dx, dy=dy, gx=gx, gy=gy, ca=ca, cb=cb, cc=cc, op=op,
+    return dict(gx=gx, gy=gy, ca=ca, cb=cb, cc=cc, op=op,
                 g_exp=g_exp, alpha=alpha, keep=keep)
 
 
@@ -76,7 +88,8 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                      dgeo0_hbm, dfeats0_hbm,
                      dgeo_hbm, dfeats_hbm, *, chunk: int, tile_w: int,
                      tile_h: int, ntx: int, c_out: int, pairs_pad: int,
-                     n_buckets: int, mm_dtype: str = "float32"):
+                     n_buckets: int, mm_dtype: str = "float32",
+                     power_mode: str = "vpu"):
     del dgeo0_hbm, dfeats0_hbm  # zero inputs aliased onto the outputs
     t = pl.program_id(0)
     npix = tile_h * tile_w
@@ -84,8 +97,21 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
     tx = (t % ntx) * tile_w
     ty = (t // ntx) * tile_h
     pix_lin = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
-    px = (tx + pix_lin % tile_w).astype(jnp.float32)
-    py = (ty + pix_lin // tile_w).astype(jnp.float32)
+    if power_mode == "mxu":
+        # shared [npix, 8] quadratic basis: feeds BOTH the power matmul
+        # and the pixel-moment reductions (tile-centered frame; the
+        # moment identities are translation invariant)
+        px = py = None
+        basis = _power_basis(pix_lin, tile_w, tile_h)
+        cx = tx + (tile_w - 1) * 0.5
+        cy = ty + (tile_h - 1) * 0.5
+    else:
+        px = (tx + pix_lin % tile_w).astype(jnp.float32)
+        py = (ty + pix_lin // tile_w).astype(jnp.float32)
+        basis = jnp.concatenate(
+            [jnp.ones_like(px), px, py, px * px, py * py, px * py,
+             jnp.zeros((npix, 2), jnp.float32)], axis=1)
+        cx = cy = None
 
     gout = gout_ref[0]            # [npix, C]
     gtfin = gtfin_ref[0]          # [npix, 1]
@@ -175,7 +201,8 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                 start_fetch(base0, k + 1)
 
             a = _alpha_terms(geo_buf[slot], px, py, start, count, off,
-                             chunk)
+                             chunk, power_mode=power_mode, basis=basis,
+                             cx=cx, cy=cy)
             alpha = a["alpha"]
             log1m = jnp.log1p(-alpha)
             # single-pass matmuls here (no hi/lo split): this prefix only
@@ -211,16 +238,15 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             # dx = gx - px separable, every reduction
             # sum_p dpower * poly(dx, dy) expands into combinations of
             # sum_p dpower * {1, px, py, px^2, py^2, px*py} — ONE tiny
-            # [6, npix] @ [npix, chunk] matmul replaces ~10 full-plane
+            # [8, npix] @ [npix, chunk] matmul replaces ~10 full-plane
             # products + 6 plane reductions (the bwd kernel's VPU cost
-            # dominated the step). f32: px^2 reaches ~1.4e6, bf16 would
-            # quantize it to ~2^-8 relative.
-            ones_c = jnp.ones_like(px)
-            basis = jnp.concatenate(
-                [ones_c, px, py, px * px, py * py, px * py], axis=1)
+            # dominated the step). The basis is hoisted out of the chunk
+            # loop (and under power_mode="mxu" it is the SAME basis as the
+            # power matmul, in the tile-centered frame). f32: px^2 reaches
+            # ~1.4e6 (global) — bf16 would quantize it to ~2^-8 relative.
             mom = jax.lax.dot_general(
                 basis, dpower, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [6, chunk]
+                preferred_element_type=jnp.float32)       # [8, chunk]
             m0, mx, my = mom[0:1], mom[1:2], mom[2:3]
             mxx, myy, mxy = mom[3:4], mom[4:5], mom[5:6]
             gx, gy = a["gx"], a["gy"]
@@ -313,13 +339,14 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
-                     "interpret", "n_buckets", "mm_dtype"))
+                     "interpret", "n_buckets", "mm_dtype", "power_mode"))
 def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
                               gout, gtfin, tfin, acc, *, tile_w: int,
                               tile_h: int, ntx: int, ntiles: int,
                               chunk: int = 256, interpret: bool = False,
                               n_buckets: int = 1,
-                              mm_dtype: str = "float32"):
+                              mm_dtype: str = "float32",
+                              power_mode: str = "vpu"):
     """Run the backward kernel. gout/gtfin/tfin/acc are
     [ntiles, npix, C/1/1/C] (acc = the saved forward output, which equals
     the per-pixel weighted feature total needed for the suffix sums).
@@ -334,7 +361,7 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
     kernel = functools.partial(
         _backward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
         ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets,
-        mm_dtype=mm_dtype)
+        mm_dtype=mm_dtype, power_mode=power_mode)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -387,7 +414,8 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
 @functools.lru_cache(maxsize=32)
 def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
                        chunk: int, interpret: bool, n_buckets: int = 1,
-                       mm_dtype: str = "float32"):
+                       mm_dtype: str = "float32",
+                       power_mode: str = "vpu"):
     """Differentiable tile compositing: Pallas forward + Pallas backward.
 
     Returns f(start, count, geo, feats) -> (acc, tfin) with gradients
@@ -400,7 +428,7 @@ def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
         return composite_tiles_pallas(
             start, count, geo, feats, tile_w=tile_w, tile_h=tile_h,
             ntx=ntx, ntiles=ntiles, chunk=chunk, interpret=interpret,
-            n_buckets=n_buckets, mm_dtype=mm_dtype)
+            n_buckets=n_buckets, mm_dtype=mm_dtype, power_mode=power_mode)
 
     def fwd(start, count, geo, feats):
         acc, tfin = f(start, count, geo, feats)
@@ -413,7 +441,7 @@ def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
             start, count, geo, feats, dacc, dtfin, tfin, acc,
             tile_w=tile_w, tile_h=tile_h, ntx=ntx, ntiles=ntiles,
             chunk=chunk, interpret=interpret, n_buckets=n_buckets,
-            mm_dtype=mm_dtype)
+            mm_dtype=mm_dtype, power_mode=power_mode)
         zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
         return zi(start), zi(count), dgeo, dfeats
 

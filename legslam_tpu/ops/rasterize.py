@@ -233,7 +233,8 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
             binning, pre.mean2d, pre.conic, opacity, feats, width, height,
             cfg.tile_w, cfg.tile_h, cfg.max_pairs, cfg.chunk,
             interpret=cfg.pallas_interpret, differentiable=True,
-            n_buckets=nb, mm_dtype=getattr(cfg, "mm_dtype", "float32"))
+            n_buckets=nb, mm_dtype=getattr(cfg, "mm_dtype", "float32"),
+            power_mode=getattr(cfg, "power_mode", "vpu"))
         img = img[..., :feats.shape[-1]]
     else:
         img, t_final = _composite_tiles(

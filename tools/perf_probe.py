@@ -135,12 +135,12 @@ def main():
                 f = jax.jit(jnp.sort)
             emit(stage, lambda: float(f(keys).ravel()[0]))
         elif stage.startswith("gather_"):
-            from legslam_tpu.ops.pallas.composite import _chunked_take
+            from legslam_tpu.ops.pallas.composite import _chunked_take_raw as _chunked_take
             dt_ = jnp.bfloat16 if stage.endswith("bf16") else jnp.float32
             src = jnp.asarray(rng.normal(size=(capacity, 128)), dt_)
             idx = jnp.asarray(
                 rng.integers(0, capacity, size=npairs, dtype=np.int32))
-            f = jax.jit(lambda s, i: _chunked_take(s, i))
+            f = jax.jit(lambda s, i: _chunked_take(s, i, i.shape[0]))
             emit(stage, lambda: float(f(src, idx)[0, 0]))
         elif stage.startswith("scatter_"):
             dt_ = jnp.bfloat16 if stage.endswith("bf16") else jnp.float32

@@ -53,6 +53,7 @@ def main():
 
     smoke = os.environ.get("PROF_SMOKE") == "1"
     mm = os.environ.get("PROF_MM_DTYPE", "bfloat16")
+    pmode = os.environ.get("PROF_POWER_MODE", "vpu")
     iters = int(os.environ.get("PROF_ITERS", "8"))
     chunk = int(os.environ.get("PROF_CHUNK", "256"))
     width, height = (320, 192) if smoke else (1200, 680)
@@ -61,7 +62,8 @@ def main():
 
     cfg = RasterizeConfig(tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
                           chunk=chunk, backend="pallas",
-                          max_pairs=1 << (16 if smoke else 20), mm_dtype=mm)
+                          max_pairs=1 << (16 if smoke else 20), mm_dtype=mm,
+                          power_mode=pmode)
     opt = OptimizationParams()
     rng = np.random.default_rng(0)
     pts = rng.uniform(-3, 3, size=(n_points, 3)).astype(np.float32)
@@ -147,7 +149,8 @@ def main():
     def kernel_only(start, count, geo, pf):
         acc, tfin = composite_tiles_pallas(
             start, count, geo, pf, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            ntx=ntx, ntiles=ntx * nty, chunk=cfg.chunk, mm_dtype=mm)
+            ntx=ntx, ntiles=ntx * nty, chunk=cfg.chunk, mm_dtype=mm,
+            power_mode=pmode)
         return acc[0, 0, 0] + tfin[0, 0, 0]
 
     from legslam_tpu.ops.pallas.composite_bwd import (
@@ -158,7 +161,8 @@ def main():
         dgeo, dfeats = composite_backward_pallas(
             start, count, geo, pf, gout, gtfin, tfin, acc,
             tile_w=cfg.tile_w, tile_h=cfg.tile_h, ntx=ntx,
-            ntiles=ntx * nty, chunk=cfg.chunk, mm_dtype=mm)
+            ntiles=ntx * nty, chunk=cfg.chunk, mm_dtype=mm,
+            power_mode=pmode)
         return dgeo[0, 0] + dfeats[0, 0].astype(jnp.float32)
 
     @jax.jit
@@ -274,7 +278,8 @@ def main():
         save_peak_memory(os.path.join(trace_dir, "TpuPeakUsageMB.txt"))
 
     print(json.dumps(dict(
-        mm_dtype=mm, chunk=chunk, width=width, height=height,
+        mm_dtype=mm, power_mode=pmode, chunk=chunk, width=width,
+        height=height,
         n_points=n_points,
         num_rendered=int(binning[0].num_rendered),
         segments_ms={k: round(v * 1e3, 1) for k, v in segs.items()})))
