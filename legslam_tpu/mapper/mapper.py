@@ -76,7 +76,9 @@ class GaussianMapper:
                  include_lang_feat: bool = True,
                  binning_refresh_interval: int = 1,
                  binning_cache_entries: int = 16,
-                 sensor_type: str = "rgbd"):
+                 sensor_type: str = "rgbd",
+                 n_views: int = 1,
+                 mesh=None):
         self.source = source
         self.intr = intrinsics
         self.opt = opt or OptimizationParams()
@@ -124,6 +126,24 @@ class GaussianMapper:
         self.binning_refresh_interval = binning_refresh_interval
         self.binning_cache_entries = binning_cache_entries
         self._binning_cache: dict = {}
+        # multi-view batched mapping (TPU-native scaling axis, SURVEY §5):
+        # each tick drains n_views keyframes through ONE data-parallel
+        # step on the device mesh — per-view render/loss/grad in parallel,
+        # gradients mean-reduced over ICI, replicated Adam update. On a
+        # single device the batch still runs (vmap), trading per-iteration
+        # coverage for fewer dispatches. n_views=1 keeps the exact
+        # reference one-KF-per-iteration semantics.
+        if n_views < 1:
+            raise ValueError(f"n_views must be >= 1, got {n_views}")
+        self.n_views = n_views
+        self._mesh = mesh
+        if n_views > 1 and mesh is None:
+            from legslam_tpu.parallel import sharded
+            nd = len(jax.devices())
+            # largest mesh that divides the batch evenly
+            while n_views % nd:
+                nd -= 1
+            self._mesh = sharded.make_mesh(nd)
 
     # ------------------------------------------------------------------
     # Bridge ingestion (combineMappingOperations, gaussian_mapper.cpp:829)
@@ -447,6 +467,8 @@ class GaussianMapper:
         """One trainForOneIteration (gaussian_mapper.cpp:624-798)."""
         if self.state is None:
             return None
+        if self.n_views > 1:
+            return self._train_iteration_batched()
         kf = self._pick_keyframe()
         if kf is None:
             return None
@@ -503,8 +525,12 @@ class GaussianMapper:
                     f"pairs dropped at iter {self.iteration} — raise "
                     "max_pairs/max_span/max_per_tile", RuntimeWarning)
         self.timings.append(time.perf_counter() - t0)
+        self._post_step_densify()
+        return loss
 
-        # densification schedule (gaussian_mapper.cpp:737-760)
+    def _post_step_densify(self) -> None:
+        """Densification schedule (gaussian_mapper.cpp:737-760)."""
+        opt = self.opt
         if self.iteration < opt.densify_until_iter:
             if opt.prune_big_point_after_iter and \
                     self.iteration > opt.prune_big_point_after_iter:
@@ -522,6 +548,73 @@ class GaussianMapper:
                     self.iteration % opt.opacity_reset_interval == 0:
                 self.state = G.reset_opacity(self.state)
                 self._invalidate_binning()
+
+    def _train_iteration_batched(self) -> Optional[float]:
+        """One n_views-keyframe data-parallel tick through
+        parallel/sharded.batched_train_step (the TPU-native batched form
+        of the gaussian_mapper.cpp:624-798 loop: same per-view masked
+        loss and per-view densify-stat accumulation; one Adam update on
+        the mean-of-views gradient)."""
+        from legslam_tpu.parallel import sharded
+        kfs = []
+        for _ in range(self.n_views):
+            kf = self._pick_keyframe()
+            if kf is None:
+                break
+            kfs.append(kf)
+        if not kfs:
+            return None
+        n0 = len(kfs)
+        while len(kfs) < self.n_views:     # pad short batches by reuse
+            kfs.append(kfs[len(kfs) % n0])
+        self.iteration += 1
+        opt = self.opt
+        if self.iteration % opt.sh_degree_interval == 0 and \
+                self.active_sh_degree < opt.sh_degree:
+            self.active_sh_degree += 1
+
+        # one pyramid level per tick (uniform shapes across the batch);
+        # the scheduler's pick from the first keyframe drives the batch
+        lvl = kfs[0].pick_pyramid_level()
+        lvl = min(lvl, min(len(kf.views) - 1 for kf in kfs))
+        views = [kf.views[lvl] for kf in kfs]
+        include_lf = self.include_lang_feat and \
+            all(kf.gt_lf is not None for kf in kfs)
+        h, w = views[0].height, views[0].width
+        if include_lf:
+            gt_lf = jnp.stack([upsample_lf(kf.gt_lf, h, w) for kf in kfs])
+        else:
+            gt_lf = jnp.zeros((len(kfs), h, w, 1), jnp.float32)
+        batch = sharded.ViewBatch(
+            world_view=jnp.stack([v.world_view for v in views]),
+            full_proj=jnp.stack([v.full_proj for v in views]),
+            cam_center=jnp.stack([v.cam_center for v in views]),
+            tan_fovx=jnp.asarray([v.tan_fovx for v in views], jnp.float32),
+            tan_fovy=jnp.asarray([v.tan_fovy for v in views], jnp.float32),
+            gt_color=jnp.stack([kf.gt_color[lvl] for kf in kfs]),
+            gt_lang_feat=gt_lf,
+            gt_depth=jnp.stack([kf.gt_depth[lvl] for kf in kfs]),
+            mask=jnp.stack([kf.mask[lvl] for kf in kfs]))
+        if self._mesh is not None and self._mesh.devices.size > 1:
+            batch = sharded.shard_batch(batch, self._mesh)
+            self.state = sharded.replicate_state(self.state, self._mesh)
+        lr_step = min(
+            max(kf.record.get("used", 1) for kf in kfs),
+            self.mp.position_lr_max_steps_slam)
+        t0 = time.perf_counter()
+        self.state, aux = sharded.batched_train_step(
+            self.state, batch, self.bg, jnp.asarray(float(lr_step)),
+            float(self.cameras_extent), width=w, height=h,
+            active_sh_degree=self.active_sh_degree, opt=opt, cfg=self.cfg,
+            include_lang_feat=include_lf, max_per_tile=self.max_per_tile)
+        self._last_aux = aux
+        loss = None
+        if self.iteration % self.loss_sync_interval == 0:
+            loss = float(aux.loss)
+            self.ema_loss = 0.6 * loss + 0.4 * self.ema_loss \
+                if self.iteration > 1 else loss
+        self.timings.append(time.perf_counter() - t0)
+        self._post_step_densify()
         return loss
 
     def run(self, max_iterations: Optional[int] = None,
