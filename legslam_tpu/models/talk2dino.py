@@ -125,25 +125,22 @@ def cosine_heatmap(lf_image: jnp.ndarray, text_emb: jnp.ndarray,
     return 1.0 - (sim - lo) / jnp.maximum(hi - lo, 1e-12)
 
 
-def build_image_embedding(dino_params: dict, pca: PCA.PCAParams,
-                          rgb: jnp.ndarray, cfg=None) -> jnp.ndarray:
-    """Image-as-query embedding: DINOv2 patch tokens, L2-normalized,
-    averaged, PCA-compressed -> [64]. Lets images be used in place of text
-    for similarity queries.
-
-    DELIBERATE DEVIATION from the reference (eval/utils.py:113-171), which
-    routes image queries through CLIP's vision tower at 224px + the
-    Talk2DINO projection: no CLIP image encoder exists in this repo, and
-    rendered language features live in DINOv2 space already, so querying
-    with mean DINOv2 patch features compares like-with-like. Similarity
-    rankings will differ from the reference's CLIP-routed variant."""
-    from legslam_tpu.models import dinov2 as D
-    cfg = cfg or D.DinoV2Config()
-    size = cfg.image_size
-    x = jax.image.resize(rgb[None], (1, size, size, 3), method="linear")
-    x = D.imagenet_normalize(x)
-    feats = D.forward(dino_params, x, cfg)[0]          # [G*G, 768]
-    feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-12)
-    emb = feats.mean(axis=0)
-    emb = emb / jnp.linalg.norm(emb).clip(1e-12)
-    return PCA.apply_pca(pca, emb[None])[0]
+def build_image_embedding(clip_vision_params: dict,
+                          proj: Optional[ProjectionParams],
+                          pca: Optional[PCA.PCAParams],
+                          rgb: jnp.ndarray, vision_cfg=None) -> jnp.ndarray:
+    """Image-as-query embedding, the exact reference pipeline
+    (eval/utils.py:113-171): 224px resize + CLIP normalization -> CLIP
+    vision tower (encode_image, class-token pooled 512-D) -> the SAME
+    Talk2DINO projection as text (project_clip_txt) -> L2 normalize ->
+    PCA compress -> [64]. Images and text then rank against rendered LF
+    through one shared embedding space."""
+    from legslam_tpu.models import clip_vision as CV
+    x = CV.preprocess(rgb, vision_cfg)
+    emb = CV.encode_image(clip_vision_params, x, vision_cfg)   # [1, 512]
+    if proj is not None:
+        emb = project_clip_text(proj, emb)                     # [1, 768]
+    emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-12)
+    if pca is not None:
+        emb = PCA.apply_pca(pca, emb)
+    return emb[0]
