@@ -1,0 +1,61 @@
+"""Golden-activation parity for the encoder stack, torch-free.
+
+The .npz fixtures under tests/fixtures/ hold {converted weights, input,
+golden output} captured ONCE from the pinned HF torch implementations
+with seeded random weights (tools/make_golden_fixtures.py). These tests
+re-run our JAX forwards against the frozen outputs — conversion or
+forward-math regressions fail here even with no torch/transformers/
+network available (reference I/O contract: src/encoder_models.cpp:74-115).
+"""
+import os
+
+import numpy as np
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load(name):
+    path = os.path.join(FIXTURES, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} missing — run "
+                    "tools/make_golden_fixtures.py")
+    blob = np.load(path)
+    from tools.make_golden_fixtures import unflatten
+    params = unflatten({k[len("param:"):]: blob[k] for k in blob.files
+                        if k.startswith("param:")})
+    inputs = {k[len("input:"):]: blob[k] for k in blob.files
+              if k.startswith("input:")}
+    golden = {k[len("golden:"):]: blob[k] for k in blob.files
+              if k.startswith("golden:")}
+    return params, inputs, golden
+
+
+def test_dinov2_golden():
+    from legslam_tpu.models import dinov2 as D
+    params, inputs, golden = _load("golden_dinov2")
+    cfg = D.DinoV2Config(image_size=56, patch_size=14, dim=64, depth=2,
+                         heads=2, num_registers=4, pos_grid=4)
+    got = np.asarray(D.forward(params, inputs["images"], cfg))
+    np.testing.assert_allclose(got, golden["patchtokens"],
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_clip_text_golden():
+    from legslam_tpu.models import clip_text as CT
+    params, inputs, golden = _load("golden_clip_text")
+    cfg = CT.ClipTextConfig(vocab=99, context=16, width=64, layers=2,
+                            heads=2, proj_dim=32)
+    got = np.asarray(CT.encode_text(params, inputs["tokens"], cfg))
+    np.testing.assert_allclose(got, golden["text_embeds"],
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_clip_vision_golden():
+    from legslam_tpu.models import clip_vision as CV
+    params, inputs, golden = _load("golden_clip_vision")
+    cfg = CV.ClipVisionConfig(image_size=32, patch=16, width=64, layers=2,
+                              heads=2, proj_dim=32)
+    got = np.asarray(CV.encode_image(params, inputs["images"], cfg))
+    np.testing.assert_allclose(got, golden["image_embeds"],
+                               atol=2e-4, rtol=1e-3)

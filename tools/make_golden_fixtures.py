@@ -1,0 +1,174 @@
+"""Capture golden-activation fixtures for the encoder stack.
+
+Runs the pinned torch/HF implementations (DINOv2-with-registers, CLIP
+text, CLIP vision) with SEEDED random weights on small configs, converts
+the weights through our converters, and stores {converted weights, input,
+golden output} as .npz under tests/fixtures/. The parity tests then
+re-run our JAX forwards against the stored outputs WITHOUT torch or
+network access — any transpose/eps/layout slip in a converter or forward
+becomes a test failure against a frozen artifact rather than against a
+live re-derivation (VERDICT r2 weak #6; reference I/O contract:
+src/encoder_models.cpp:74-115).
+
+Run once on a machine with torch+transformers (both baked into this
+image); re-run only when an architecture or converter changes
+intentionally — the fixtures are the contract.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.clear_backends()
+except AttributeError:  # pragma: no cover
+    from jax.extend import backend as _jeb
+    _jeb.clear_backends()
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "fixtures")
+
+
+def _flatten(tree, prefix=""):
+    """pytree of arrays -> flat {dotted/name: np.ndarray}."""
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten(flat):
+    """Inverse of _flatten (list nodes are keyed by integer strings)."""
+    tree: dict = {}
+    for key, val in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [fix(node[str(i)]) for i in range(len(node))]
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(tree)
+
+
+def save(name, params, inputs, outputs):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    blob = {f"param:{k}": v for k, v in _flatten(params).items()}
+    blob.update({f"input:{k}": np.asarray(v) for k, v in inputs.items()})
+    blob.update({f"golden:{k}": np.asarray(v) for k, v in outputs.items()})
+    path = os.path.join(OUT_DIR, f"{name}.npz")
+    np.savez_compressed(path, **blob)
+    print(f"{path}: {os.path.getsize(path) / 1024:.0f} KiB, "
+          f"{len(blob)} arrays")
+
+
+def capture_dinov2():
+    import torch
+    from transformers import (
+        Dinov2WithRegistersConfig,
+        Dinov2WithRegistersModel,
+    )
+
+    from legslam_tpu.models import dinov2 as D
+    torch.manual_seed(1234)
+    hf_cfg = Dinov2WithRegistersConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=256, image_size=56, patch_size=14,
+        num_register_tokens=4, layerscale_value=0.1, hidden_act="gelu")
+    model = Dinov2WithRegistersModel(hf_cfg).eval()
+    cfg = D.DinoV2Config(image_size=56, patch_size=14, dim=64, depth=2,
+                         heads=2, num_registers=4, pos_grid=4)
+    params = D.convert_hf(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()}, cfg)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, size=(2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.tensor(img.transpose(0, 3, 1, 2)))
+    golden = out.last_hidden_state[:, 1 + 4:].numpy()
+    save("golden_dinov2", params, dict(images=img),
+         dict(patchtokens=golden))
+
+
+def capture_clip_text():
+    import torch
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    from legslam_tpu.models import clip_text as CT
+    torch.manual_seed(1234)
+    hf_cfg = CLIPTextConfig(
+        vocab_size=99, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=16, projection_dim=32,
+        hidden_act="quick_gelu", eos_token_id=98)
+    model = CLIPTextModelWithProjection(hf_cfg).eval()
+    cfg = CT.ClipTextConfig(vocab=99, context=16, width=64, layers=2,
+                            heads=2, proj_dim=32)
+    params = CT.convert_hf(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()},
+        cfg=cfg)
+    rng = np.random.default_rng(0)
+    # SOT-ish prefix, random body, EOT=98 (the argmax-pooled token) + pad
+    toks = np.zeros((3, 16), np.int64)
+    for i in range(3):
+        n = 5 + i
+        toks[i, 0] = 1
+        toks[i, 1:n] = rng.integers(2, 98, size=n - 1)
+        toks[i, n] = 98
+    with torch.no_grad():
+        out = model(torch.tensor(toks))
+    save("golden_clip_text", params, dict(tokens=toks.astype(np.int32)),
+         dict(text_embeds=out.text_embeds.numpy()))
+
+
+def capture_clip_vision():
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    from legslam_tpu.models import clip_vision as CV
+    torch.manual_seed(1234)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, image_size=32, patch_size=16,
+        projection_dim=32, hidden_act="quick_gelu")
+    model = CLIPVisionModelWithProjection(hf_cfg).eval()
+    cfg = CV.ClipVisionConfig(image_size=32, patch=16, width=64, layers=2,
+                              heads=2, proj_dim=32)
+    params = CV.convert_hf(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()},
+        cfg=cfg)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.tensor(img.transpose(0, 3, 1, 2)))
+    save("golden_clip_vision", params, dict(images=img),
+         dict(image_embeds=out.image_embeds.numpy()))
+
+
+def main():
+    capture_dinov2()
+    capture_clip_text()
+    capture_clip_vision()
+
+
+if __name__ == "__main__":
+    main()
