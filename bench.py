@@ -91,7 +91,8 @@ def main():
             s.params.xyz, jnp.exp(s.params.scaling), s.params.rotation,
             s.valid, view.world_view, view.full_proj, view.tan_fovx,
             view.tan_fovy, width=width, height=height, cfg=cfg,
-            max_per_tile=2048)
+            max_per_tile=2048,
+            opacity=jax.nn.sigmoid(s.params.opacity[:, 0]))
 
     def step(s, i, binning=None):
         return train_step(

@@ -36,6 +36,14 @@ def main(argv=None):
                         choices=("trajectory", "visual"),
                         help="trajectory = GT-pose playback; visual = "
                         "KLT+RANSAC tracking (GT poses ignored)")
+    parser.add_argument("--sensor", default="auto",
+                        choices=("auto", "rgbd", "mono", "stereo",
+                                 "rgbd-inertial", "mono-inertial",
+                                 "stereo-inertial"),
+                        help="sensor mode for the visual frontend + the "
+                        "mapper densify branch; auto sniffs the dataset "
+                        "(stereo pairs -> stereo, no depth -> mono, "
+                        "+'-inertial' when an IMU stream is present)")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--capacity", type=int, default=1 << 18)
     parser.add_argument("--iters-per-frame", type=int, default=1)
@@ -86,16 +94,39 @@ def main(argv=None):
         cam_intr = intrinsics_from_yaml(load_opencv_yaml(args.camera_cfg))
     ds = open_dataset(args.data)
     intr = {**ds.intrinsics, **(cam_intr or {})}
+    sensor = args.sensor
+    if sensor == "auto":
+        # EuRoC-style loaders expose a stereo baseline + right images;
+        # loaders with no depth at all are monocular (System.h:67-75
+        # sensor enum — the reference selects per-example binary instead)
+        probe = ds.read(0)
+        if getattr(probe, "color_right", None) is not None:
+            sensor = "stereo"
+        elif probe.depth is None:
+            sensor = "mono"
+        else:
+            sensor = "rgbd"
+        if getattr(ds, "imu_between", None) is not None and \
+                getattr(ds, "_imu", None) is not None:
+            sensor += "-inertial"   # EuRoC imu0 present (System.h:67-75)
+    has_imu = sensor.endswith("-inertial") and \
+        getattr(ds, "imu_between", None) is not None
+    base_sensor = sensor[:-len("-inertial")] if \
+        sensor.endswith("-inertial") else sensor
     if args.frontend == "visual":
         from legslam_tpu.slam.tracking import TrackingFrontend
-        frontend = TrackingFrontend(intr)
+        frontend = TrackingFrontend(
+            intr, sensor=sensor,
+            stereo_baseline=getattr(ds, "baseline", 0.0))
     else:
         frontend = TrajectoryFrontend(intr, kf_stride=args.kf_stride)
     mapper = GaussianMapper(frontend.queue, intr, opt=opt, mp=mp, cfg=cfg,
                             capacity=args.capacity, result_dir=args.out,
                             seed=args.seed, max_per_tile=args.max_per_tile,
                             include_lang_feat=not args.no_lf,
-                            binning_refresh_interval=args.binning_refresh)
+                            binning_refresh_interval=args.binning_refresh,
+                            sensor_type="monocular" if base_sensor == "mono"
+                            else base_sensor)
 
     encoder = None
     if args.encoder_weights and not args.no_lf:
@@ -122,7 +153,12 @@ def main(argv=None):
             if encoder is not None:
                 lf = np.asarray(
                     encoder.create_language_features(frame.color))
-            frontend.track(frame, lf_image=lf)
+            if args.frontend == "visual":
+                frontend.track(frame, lf_image=lf,
+                               color_right=frame.color_right,
+                               imu=ds.imu_between(i) if has_imu else None)
+            else:
+                frontend.track(frame, lf_image=lf)
             mapper.drain_operations()
             if mapper.state is None and mapper.has_met_initial_conditions():
                 mapper.initialize_map()

@@ -281,6 +281,39 @@ class EuRoCStereoDataset(BaseDataset):
                 poses.append((T_WB @ self.T_body_cam0).astype(np.float32))
             self._poses = poses
 
+        # imu0 stream (t_ns, wx, wy, wz, ax, ay, az), rotated into the
+        # cam0 frame so the frontend's body==camera convention holds
+        # (slam/imu.py; lever-arm accel terms ~cm-scale are neglected —
+        # the reference instead carries the full T_bc through its factors,
+        # ORB-SLAM3/src/ImuTypes.cc)
+        self._imu = None
+        imu_csv = os.path.join(mav, "imu0", "data.csv")
+        if os.path.exists(imu_csv):
+            rows = np.genfromtxt(imu_csv, delimiter=",", comments="#")
+            if rows.ndim == 1:
+                rows = rows[None]
+            R_cb = np.linalg.inv(self.T_body_cam0)[:3, :3]
+            imu = np.empty((rows.shape[0], 7))
+            imu[:, 0] = rows[:, 0] * 1e-9
+            imu[:, 1:4] = rows[:, 1:4] @ R_cb.T
+            imu[:, 4:7] = rows[:, 4:7] @ R_cb.T
+            self._imu = imu
+
+    def imu_between(self, i: int) -> Optional[np.ndarray]:
+        """[K, 7] IMU rows (t s, gyro rad/s, accel m/s^2, cam0 frame)
+        covering (t_{i-1}, t_i] — the `imu` argument TrackingFrontend
+        expects for frame i. None for frame 0 or when imu0 is absent."""
+        if self._imu is None or i <= 0:
+            return None
+        t0, t1 = self._stamps[i - 1], self._stamps[i]
+        ts = self._imu[:, 0]
+        lo = int(np.searchsorted(ts, t0, side="left"))
+        hi = int(np.searchsorted(ts, t1, side="right"))
+        lo = max(lo - 1, 0)            # one sample before t0 anchors ZOH
+        if hi - lo < 2:
+            return None
+        return self._imu[lo:hi]
+
     @staticmethod
     def _read_cam_csv(cam_dir: str):
         out = []

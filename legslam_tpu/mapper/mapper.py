@@ -456,7 +456,8 @@ class GaussianMapper:
             st.params.xyz, jnp.exp(st.params.scaling), st.params.rotation,
             st.valid, view.world_view, view.full_proj, view.tan_fovx,
             view.tan_fovy, width=view.width, height=view.height,
-            cfg=self.cfg, max_per_tile=self.max_per_tile)
+            cfg=self.cfg, max_per_tile=self.max_per_tile,
+            opacity=jax.nn.sigmoid(st.params.opacity[:, 0]))
         self._binning_cache[key] = (self.binning_refresh_interval - 1,
                                     binning)
         while len(self._binning_cache) > self.binning_cache_entries:

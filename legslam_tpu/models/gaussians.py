@@ -251,7 +251,11 @@ def adam_update(state: GaussianState, grads: GaussianParams,
 
     def upd(p, g, m, v, lr):
         # flatten: [P, 3]-shaped arrays waste 125/128 VPU lanes; the update
-        # is elementwise so 1-D layout is ~16x faster on TPU (measured)
+        # is elementwise so 1-D layout is ~16x faster on TPU (measured).
+        # NOTE a single concatenated flat update over all 7 groups was
+        # tried and compile-OOMs: XLA canonicalizes the concat+slice+
+        # reshape chain into a [total/3, 3]{T(8,128)} temp (42.7x layout
+        # padding, 28.9 GB). Per-group flat is the proven form.
         shape = p.shape
         p, g, m, v = (a.reshape(-1) for a in (p, g, m, v))
         m = ADAM_B1 * m + (1.0 - ADAM_B1) * g

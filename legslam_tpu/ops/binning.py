@@ -48,6 +48,69 @@ def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray,
     return TileRect(x0, x1, y0, y1)
 
 
+def effective_radius(radius: jnp.ndarray, opacity: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Opacity-aware screen radius: the largest distance at which this
+    gaussian can still clear the kernels' alpha >= ALPHA_MIN keep mask.
+
+    alpha(d) = op * exp(-0.5 d^T C d) <= op * exp(-0.5 d^2 / lam_max)
+    (lam_max = largest 2D-covariance eigenvalue), so alpha < ALPHA_MIN
+    everywhere beyond r_eff = sqrt(lam_max) * sqrt(2 ln(op / ALPHA_MIN)).
+    preprocess's radius = ceil(3 sqrt(lam_max)) gives sqrt(lam_max) <=
+    radius / 3, hence the bound below is CONSERVATIVE: pairs culled with
+    it contribute exactly zero in the compositing kernels (their keep
+    mask zeroes both alpha and every gradient), so binning with r_eff is
+    bit-exact vs the 3-sigma rect while emitting far fewer pairs at low
+    opacity (the reference uses the fixed 3-sigma rect for every
+    gaussian, forward.cu:226-243). Shrinks to 0 when op <= ALPHA_MIN."""
+    from legslam_tpu.config import ALPHA_MIN
+    ratio = jnp.log(jnp.maximum(opacity, 1e-12) / ALPHA_MIN)
+    r = radius.astype(jnp.float32) / 3.0 * jnp.sqrt(
+        2.0 * jnp.maximum(ratio, 0.0))
+    # +1: tile_rect's far edge is floor((p + r + tile - 1)/tile), whose
+    # excluded tiles only guarantee pixel distance > r - 1 — one pixel of
+    # slack keeps every pixel with distance <= r_cull inside the rect
+    # (the corner cull below prunes the admitted boundary tiles exactly).
+    r = jnp.where(opacity > ALPHA_MIN, jnp.ceil(r) + 1.0, 0.0)
+    # the RECT may clamp at the 3-sigma radius: the baseline rect is that
+    # square, so pairs beyond it were never emitted anyway. The DISC cull
+    # below must NOT clamp (see _cull_radius) — tile corners inside the
+    # square can sit up to sqrt(2)*radius away and the kernels have no
+    # 3-sigma cutoff.
+    return jnp.minimum(r, radius.astype(jnp.float32)).astype(radius.dtype)
+
+
+def _cull_radius(radius: jnp.ndarray, opacity: jnp.ndarray) -> jnp.ndarray:
+    """Unclamped float alpha-support radius: alpha < ALPHA_MIN strictly
+    beyond it in ANY direction (isotropic bound via the max covariance
+    eigenvalue, sqrt(lam_max) <= radius/3)."""
+    from legslam_tpu.config import ALPHA_MIN
+    ratio = jnp.log(jnp.maximum(opacity, 1e-12) / ALPHA_MIN)
+    r = radius.astype(jnp.float32) / 3.0 * jnp.sqrt(
+        2.0 * jnp.maximum(ratio, 0.0))
+    # +0.5 px slack: the kernels evaluate alpha in their own f32 chain
+    # (conic + exp), which can differ from this bound's sqrt/log chain by
+    # ulps right at the alpha == ALPHA_MIN contour.
+    return jnp.where(opacity > ALPHA_MIN, r + 0.5, 0.0)
+
+
+def _corner_cull(in_span, tx, ty, mean2d_sorted, r_cull_sorted,
+                 tile_w: int, tile_h: int):
+    """Drop candidate (gaussian, tile) pairs whose tile rectangle lies
+    entirely beyond the alpha-support radius from the gaussian center
+    (point-to-rect distance vs _cull_radius; conservative, so the drop is
+    exact). Shapes: in_span/tx [P, msy, msx] / [P, 1, msx],
+    ty [P, msy, 1]."""
+    px = mean2d_sorted[:, 0][:, None, None]
+    py = mean2d_sorted[:, 1][:, None, None]
+    xlo = tx.astype(jnp.float32) * tile_w
+    ylo = ty.astype(jnp.float32) * tile_h
+    dx = jnp.maximum(jnp.maximum(xlo - px, px - (xlo + tile_w - 1)), 0.0)
+    dy = jnp.maximum(jnp.maximum(ylo - py, py - (ylo + tile_h - 1)), 0.0)
+    r = r_cull_sorted[:, None, None]
+    return in_span & (dx * dx + dy * dy <= r * r)
+
+
 class Binning(NamedTuple):
     order: jnp.ndarray        # [P] gaussian ids in ascending depth
     pair_gid: jnp.ndarray     # [NPAIR] gaussian id per sorted pair
@@ -74,7 +137,8 @@ class BucketedBinning(NamedTuple):
 
 
 def bin_gaussians(pre: Preprocessed, width: int, height: int,
-                  cfg: RasterizeConfig) -> Binning:
+                  cfg: RasterizeConfig,
+                  opacity: jnp.ndarray | None = None) -> Binning:
     P = pre.mean2d.shape[0]
     ntx = -(-width // cfg.tile_w)
     nty = -(-height // cfg.tile_h)
@@ -93,7 +157,9 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
         depth_key = jnp.where(pre.mask, pre.depth, jnp.inf)
         order = jnp.argsort(depth_key)  # stable
 
-    rect = tile_rect(pre.mean2d, pre.radius, cfg.tile_w, cfg.tile_h, ntx, nty)
+    r_bin = pre.radius if opacity is None else \
+        effective_radius(pre.radius, opacity)
+    rect = tile_rect(pre.mean2d, r_bin, cfg.tile_w, cfg.tile_h, ntx, nty)
     span_x = rect.x1 - rect.x0
     span_y = rect.y1 - rect.y0
     valid = pre.mask & (span_x * span_y > 0)
@@ -121,6 +187,11 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     ty = y0[:, None, None] + oy[None, :, None]        # [P, msy, 1]
     in_span = (ox[None, None, :] < sx[:, None, None]) & \
               (oy[None, :, None] < sy[:, None, None]) & v[:, None, None]
+    if opacity is not None:
+        in_span = _corner_cull(
+            in_span, tx, ty, pre.mean2d[order],
+            _cull_radius(pre.radius, opacity)[order],
+            cfg.tile_w, cfg.tile_h)
     tid = ty * ntx + tx                                # [P, msy, msx]
 
     rank = jnp.arange(P, dtype=jnp.int32)
@@ -171,7 +242,9 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
 
 def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
                            cfg: RasterizeConfig, n_buckets: int,
-                           cap_per_bucket: int) -> BucketedBinning:
+                           cap_per_bucket: int,
+                           opacity: jnp.ndarray | None = None
+                           ) -> BucketedBinning:
     """Bucketed variant of bin_gaussians (see BucketedBinning).
 
     P must be divisible by n_buckets; each bucket keeps its first
@@ -195,7 +268,9 @@ def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
         depth_key = jnp.where(pre.mask, pre.depth, jnp.inf)
         order = jnp.argsort(depth_key)
 
-    rect = tile_rect(pre.mean2d, pre.radius, cfg.tile_w, cfg.tile_h, ntx, nty)
+    r_bin = pre.radius if opacity is None else \
+        effective_radius(pre.radius, opacity)
+    rect = tile_rect(pre.mean2d, r_bin, cfg.tile_w, cfg.tile_h, ntx, nty)
     span_x = rect.x1 - rect.x0
     span_y = rect.y1 - rect.y0
     valid = pre.mask & (span_x * span_y > 0)
@@ -213,6 +288,11 @@ def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
     ty = y0[:, None, None] + oy[None, :, None]
     in_span = (ox[None, None, :] < sx[:, None, None]) & \
               (oy[None, :, None] < sy[:, None, None]) & v[:, None, None]
+    if opacity is not None:
+        in_span = _corner_cull(
+            in_span, tx, ty, pre.mean2d[order],
+            _cull_radius(pre.radius, opacity)[order],
+            cfg.tile_w, cfg.tile_h)
     tid = ty * ntx + tx
     rank = jnp.arange(P, dtype=jnp.int32)
     key = jnp.where(in_span, tid * P + rank[:, None, None], ntiles * P)

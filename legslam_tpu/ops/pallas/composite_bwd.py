@@ -157,6 +157,27 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                 rsem.at[slot, 1])
             return off, g, f
 
+        def _wr_pair(base0, k):
+            off = pl.multiple_of(base0 + k * chunk, chunk)
+            slot = k % 2
+            g = pltpu.make_async_copy(
+                dgeo_buf.at[slot], dgeo_hbm.at[:, pl.ds(off, chunk)],
+                wsem.at[slot, 0])
+            f = pltpu.make_async_copy(
+                dfeat_buf.at[slot], dfeats_hbm.at[pl.ds(off, chunk), :],
+                wsem.at[slot, 1])
+            return g, f
+
+        def start_wr(base0, k):
+            g, f = _wr_pair(base0, k)
+            g.start()
+            f.start()
+
+        def wait_wr(base0, k):
+            g, f = _wr_pair(base0, k)
+            g.wait()
+            f.wait()
+
         def start_fetch(base0, k):
             _, g, f = _fetch_pair(base0, k)
             g.start()
@@ -270,7 +291,8 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
                 preferred_element_type=jnp.float32)      # [chunk, C]
 
             # read-modify-write accumulation (boundary windows overlap the
-            # neighbouring tile's windows; sequential grid => race-free).
+            # neighbouring tile's windows; sequential grid => race-free
+            # within the DEFERRED-write discipline below).
             # The read was prefetched during chunk k-1's compute.
             wait_rd(base0, k)
             dgeo_buf[slot] = dgeo_buf[slot] + dgeo_local
@@ -278,21 +300,22 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             # twice — its own tile + a boundary-overlap neighbour)
             dfeat_buf[slot] = (dfeat_buf[slot].astype(jnp.float32)
                                + dfeat_local).astype(dfeat_buf.dtype)
-            wr_g = pltpu.make_async_copy(
-                dgeo_buf.at[slot], dgeo_hbm.at[:, pl.ds(off, chunk)],
-                wsem.at[slot, 0])
-            wr_f = pltpu.make_async_copy(
-                dfeat_buf.at[slot], dfeats_hbm.at[pl.ds(off, chunk), :],
-                wsem.at[slot, 1])
-            wr_g.start()
-            wr_f.start()
-            wr_g.wait()
-            wr_f.wait()
+            # DEFERRED write: start write k now, wait for it only one
+            # iteration later (before read k+2 re-targets this slot) or at
+            # the bucket drain. The synchronous wait paid ~2 DMA latencies
+            # per chunk on the critical path; windows within a bucket are
+            # disjoint, so ordering only matters across buckets — enforced
+            # by the drain before the next bucket's first read.
+            start_wr(base0, k)
 
             @pl.when(k + 1 < n_chunks)
             def _():
-                # the other slot's write finished at k-1 (synchronous), so
-                # its accumulator read can fly through chunk k+1's compute
+                # read k+1 targets slot (k+1)%2, whose last write was
+                # chunk k-1 — wait for it (it has had chunk k's whole
+                # compute phase to finish, so this is normally a no-op)
+                @pl.when(k >= 1)
+                def _():
+                    wait_wr(base0, k - 1)
                 start_rd(base0, k + 1)
 
             log_t_all = log_t_all + jnp.sum(log1m, axis=1, keepdims=True)
@@ -313,6 +336,19 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
           def _():
               wait_fetch(base0, k_fin)
               wait_rd(base0, k_fin)
+
+          # drain DEFERRED writes before the next bucket's first read (its
+          # windows may overlap this bucket's): write k_fin-1 is always
+          # pending; write k_fin-2 only on normal exhaustion (early exit
+          # already waited it in the k_fin-1 iteration's read prologue —
+          # a second wait on the semaphore would deadlock)
+          @pl.when(k_fin >= 1)
+          def _():
+              wait_wr(base0, k_fin - 1)
+
+          @pl.when((k_fin >= 2) & (k_fin == n_chunks))
+          def _():
+              wait_wr(base0, k_fin - 2)
           return b + 1, log_t_all, s_prefix
 
         def bcond_b(bcarry):

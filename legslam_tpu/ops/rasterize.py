@@ -134,26 +134,34 @@ def _composite_tiles(binning: Binning, mean2d: jnp.ndarray,
 
 
 def make_binning(pre: Preprocessed, width: int, height: int,
-                 cfg: RasterizeConfig, max_per_tile: int):
+                 cfg: RasterizeConfig, max_per_tile: int,
+                 opacity: jnp.ndarray | None = None):
     """Bin preprocessed gaussians; returns (binning, overflow_pairs). This
     is the sort-dominated half of the prep pipeline
     (duplicateWithKeys + radix sort + identifyTileRanges,
     rasterizer_impl.cu:280-320) — it depends only on geometry
     (mean2d/radius/depth/valid), carries no gradients, and so may be
     cached across iterations of the same view (mapper
-    binning_refresh_interval)."""
+    binning_refresh_interval). Passing `opacity` (activated, [P]) enables
+    the exact opacity-aware pair cull (binning.effective_radius): pairs
+    that cannot clear the compositors' alpha >= ALPHA_MIN keep mask are
+    never emitted."""
+    if opacity is not None:
+        opacity = jax.lax.stop_gradient(opacity)
     if cfg.backend == "pallas":
         nb = getattr(cfg, "n_buckets", 1)
         if nb > 1:
             binning = bin_gaussians_bucketed(
-                pre, width, height, cfg, nb, cfg.bucket_cap)
+                pre, width, height, cfg, nb, cfg.bucket_cap,
+                opacity=opacity)
             overflow = binning.span_overflow + binning.overflow
         else:
-            binning = bin_gaussians(pre, width, height, cfg)
+            binning = bin_gaussians(pre, width, height, cfg,
+                                    opacity=opacity)
             overflow = binning.span_overflow + jnp.maximum(
                 binning.num_rendered - cfg.max_pairs, 0)
     else:
-        binning = bin_gaussians(pre, width, height, cfg)
+        binning = bin_gaussians(pre, width, height, cfg, opacity=opacity)
         overflow = binning.span_overflow + jnp.sum(
             jnp.maximum(binning.tile_count - max_per_tile, 0))
     return binning, overflow.astype(jnp.int32)
@@ -164,16 +172,18 @@ def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
                     world_view: jnp.ndarray, full_proj: jnp.ndarray,
                     tan_fovx, tan_fovy, width: int, height: int,
                     cfg: RasterizeConfig, max_per_tile: int = 2048,
-                    scale_modifier: float = 1.0):
-    """Standalone binning for callers that cache it (activated scales
-    expected, like render_arrays)."""
+                    scale_modifier: float = 1.0,
+                    opacity: jnp.ndarray | None = None):
+    """Standalone binning for callers that cache it (activated scales +
+    activated opacity expected, like render_arrays)."""
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
     pre = preprocess(
         means3d, scales, normalize_quat(quats), valid, world_view,
         full_proj, width, height, focal_x, focal_y, tan_fovx, tan_fovy,
         scale_modifier)
-    return make_binning(pre, width, height, cfg, max_per_tile)
+    return make_binning(pre, width, height, cfg, max_per_tile,
+                        opacity=opacity)
 
 
 def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
@@ -220,7 +230,7 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
 
     if binning is None:
         binning, overflow = make_binning(pre, width, height, cfg,
-                                         max_per_tile)
+                                         max_per_tile, opacity=opacity)
     else:
         binning, overflow = binning
         # a cached binning references gaussian SLOTS; the caller must

@@ -605,7 +605,15 @@ class TrackingFrontend:
                  mono_init_parallax: float = 12.0,
                  mono_depth_gauge: float = 2.5,
                  scale_refine_kfs: int = 3,
-                 stereo_baseline: float = 0.0):
+                 stereo_baseline: float = 0.0,
+                 use_imu: bool = False,
+                 gravity_mag: float = 9.81,
+                 imu_init_kfs: int = 6):
+        # the "-inertial" suffix mirrors the reference's sensor enum
+        # (System.h:67-75: IMU_MONOCULAR/IMU_STEREO/IMU_RGBD)
+        if sensor.endswith("-inertial"):
+            sensor = sensor[:-len("-inertial")]
+            use_imu = True
         if sensor not in ("rgbd", "mono", "stereo"):
             raise ValueError(f"unknown sensor mode {sensor!r}")
         self.queue = OperationQueue()
@@ -640,6 +648,14 @@ class TrackingFrontend:
         self._next_lm = 0
         self.keyframes: dict[int, _KF] = {}
         self._kf_order: list[int] = []
+        # appearance caches: pooled gray (FFT loop/reloc verification) and
+        # a tiny unit-norm thumbnail (vectorized candidate prefilter) per
+        # keyframe — recomputing the pooled image for EVERY stored KF per
+        # query made loop detection quadratic in map size (the reference
+        # caches DBoW2 bow vectors per KF for the same reason,
+        # ORB-SLAM3/src/KeyFrame.cc ComputeBoW)
+        self._kf_pooled: dict[int, np.ndarray] = {}
+        self._kf_thumb: dict[int, np.ndarray] = {}
         # active tracks: parallel arrays
         self._track_lm: np.ndarray = np.zeros((0,), np.int64)
         self._track_px: np.ndarray = np.zeros((0, 2), np.float32)
@@ -663,6 +679,18 @@ class TrackingFrontend:
         self.mono_scale = 1.0
         self._lost_streak = 0
         self.n_relocalizations = 0
+        # inertial state (slam/imu.py; Tracking::PredictStateIMU +
+        # LocalMapping::InitializeIMU counterparts)
+        self.use_imu = use_imu
+        self.gravity_mag = gravity_mag
+        self.imu_init_kfs = imu_init_kfs
+        self.imu_ready = False         # gravity/velocity (and mono scale)
+        self._g_w: Optional[np.ndarray] = None
+        self._v_w = np.zeros(3, np.float64)
+        self._imu_pred = None          # (R_w2c, t_w2c, v_w) this frame
+        self._imu_since_kf = None      # merged Preintegrated since last KF
+        self._imu_kf_buf: list = []    # (R_wb, p_vis, pre) init windows
+        self.n_imu_inits = 0
 
     # -- geometry helpers ------------------------------------------------
     def _lift(self, px: np.ndarray, depth: np.ndarray
@@ -714,10 +742,98 @@ class TrackingFrontend:
         return np.stack([xn[:, 0] * fx + cx, xn[:, 1] * fy + cy],
                         -1).astype(np.float32)
 
+    # -- inertial helpers --------------------------------------------------
+    def _cur_pose_wb(self) -> tuple[np.ndarray, np.ndarray]:
+        """Current pose as (R_wb body-to-world, p_wb world position)."""
+        R_wb = self._cur_R.T.astype(np.float64)
+        return R_wb, -(R_wb @ self._cur_t.astype(np.float64))
+
+    def _set_pose_from_wb(self, R_wb: np.ndarray, p_wb: np.ndarray) -> None:
+        self._cur_R = R_wb.T.astype(np.float32)
+        self._cur_t = (-(R_wb.T @ p_wb)).astype(np.float32)
+
+    def _imu_ingest(self, imu: Optional[np.ndarray]) -> None:
+        """Per-frame IMU bookkeeping: preintegrate the block, extend the
+        since-keyframe accumulation, and (once gravity is initialized)
+        predict this frame's pose from the last frame's visual pose
+        (Tracking::PredictStateIMU)."""
+        self._imu_pred = None
+        if not self.use_imu or imu is None:
+            return
+        from legslam_tpu.slam.imu import predict_pose, preintegrate
+        pre = preintegrate(imu)
+        if pre.n == 0:
+            return
+        if self._imu_since_kf is not None:
+            self._imu_since_kf = self._imu_since_kf.merge(pre)
+        elif self._kf_order:
+            self._imu_since_kf = pre
+        if self.imu_ready and self.keyframes:
+            R_wb, p_wb = self._cur_pose_wb()
+            R2, p2, v2 = predict_pose(R_wb, p_wb, self._v_w, self._g_w, pre)
+            self._imu_pred = (R2, p2, v2, pre.dt, p_wb)
+
+    def _imu_update_velocity(self) -> None:
+        """After a successful visual pose solve: world velocity from the
+        frame-to-frame position difference over the IMU interval."""
+        if not (self.use_imu and self.imu_ready and self._imu_pred):
+            return
+        _, _, _, dt, p_prev = self._imu_pred
+        if dt <= 1e-6:
+            return
+        _, p_now = self._cur_pose_wb()
+        self._v_w = (p_now - p_prev) / dt
+
+    def _imu_collect_init(self, kf: _KF) -> None:
+        """Accumulate per-keyframe (pose, preintegration) windows and run
+        the closed-form visual-inertial alignment (slam/imu.py). For mono
+        the solved scale rescales the map and is published as
+        SCALE_REFINEMENT — the reference's IMU-init push
+        (LocalMapping.cc:1300-1304)."""
+        from legslam_tpu.slam.imu import align_visual_inertial
+        pre = self._imu_since_kf
+        self._imu_since_kf = None
+        R_wb = kf.R.T.astype(np.float64)
+        p_vis = -(R_wb @ kf.t.astype(np.float64))
+        if not self._imu_kf_buf:
+            self._imu_kf_buf = [[(R_wb, p_vis)], []]
+            return
+        states, pres = self._imu_kf_buf
+        if pre is None or pre.dt <= 1e-6:   # IMU gap: restart the window
+            self._imu_kf_buf = [[(R_wb, p_vis)], []]
+            return
+        states.append((R_wb, p_vis))
+        pres.append(pre)
+        if len(states) > self.imu_init_kfs:
+            states.pop(0)
+            pres.pop(0)
+        if len(states) < self.imu_init_kfs:
+            return
+        est_scale = self.sensor == "mono"
+        out = align_visual_inertial(
+            [s[0] for s in states], [s[1] for s in states], pres,
+            gravity_mag=self.gravity_mag, estimate_scale=est_scale)
+        if out is None or out["residual"] > 0.1:
+            return
+        self._g_w = out["g_w"]
+        self._v_w = out["v_w"][-1]
+        self.imu_ready = True
+        self.n_imu_inits += 1
+        self._imu_kf_buf = []
+        s = out["scale"]
+        if est_scale and abs(s - 1.0) > 0.02 and 0.2 < s < 100.0:
+            self._apply_global_scale(s)
+            self.mono_scale *= s
+            self.n_scale_refinements += 1
+            packets = [self._pose_packet(f) for f in self._kf_order]
+            self.queue.push(MappingOperation(
+                kind=OpKind.SCALE_REFINEMENT, keyframes=packets, scale=s))
+
     # -- main per-frame entry ---------------------------------------------
     def track(self, frame: RGBDFrame,
               lf_image: Optional[np.ndarray] = None,
-              color_right: Optional[np.ndarray] = None
+              color_right: Optional[np.ndarray] = None,
+              imu: Optional[np.ndarray] = None
               ) -> Optional[KeyframePacket]:
         """Per-frame entry (System::TrackRGBDLF / TrackMonocular /
         TrackStereo, ORB-SLAM3/src/System.cc). Sensor modes:
@@ -729,8 +845,15 @@ class TrackingFrontend:
           stereo — rectified right image; depth from the census+SGM
                    stereo kernels, then the RGB-D machinery; the right
                    image rides the packets for the SGM densify branch.
+        Each mode has an "-inertial" variant (System.h:67-75): pass
+        `imu` = [K, 7] rows (t, gyro, accel) covering the interval since
+        the previous frame; gravity/velocity (and monocular scale) are
+        initialized by closed-form visual-inertial alignment, after which
+        IMU prediction replaces the constant-pose model on lost frames
+        and seeds the monocular PnP.
         """
         gray = to_gray(frame.color)
+        self._imu_ingest(imu)
         if self.sensor == "stereo":
             if color_right is None:
                 raise ValueError("stereo tracking requires color_right")
@@ -780,6 +903,7 @@ class TrackingFrontend:
 
         self._lost_streak = 0
         self._cur_R, self._cur_t = R, t
+        self._imu_update_velocity()
         self._store_pose(frame.index)
 
         # drop RANSAC outliers with valid depth (bad associations)
@@ -809,6 +933,13 @@ class TrackingFrontend:
         map)."""
         self.lost_frames += 1
         self._lost_streak += 1
+        if self._imu_pred is not None:
+            # IMU dead-reckoning through the blackout instead of the
+            # constant-pose fallback (Tracking::PredictStateIMU while
+            # mState==RECENTLY_LOST)
+            R2, p2, v2, _, _ = self._imu_pred
+            self._set_pose_from_wb(R2, p2)
+            self._v_w = v2
         self._store_pose(frame.index)
         packet = None
         if self._lost_streak >= self.reloc_after:
@@ -827,14 +958,31 @@ class TrackingFrontend:
         self._prev_gray = gray
         return packet
 
+    def _register_kf_appearance(self, fid: int, gray: np.ndarray) -> None:
+        self._kf_pooled[fid] = _pool_gray(gray)
+        self._kf_thumb[fid] = _thumb(gray)
+
+    def _shortlist(self, gray: np.ndarray, fids: list[int], top_m: int
+                   ) -> list[int]:
+        """Cheap appearance prefilter: rank candidate KFs by thumbnail
+        correlation (one vectorized dot product over the whole store) and
+        return the best `top_m`. Bounds the number of expensive pooled-FFT
+        verifications per query at O(1) instead of O(#keyframes)."""
+        if len(fids) <= top_m:
+            return list(fids)
+        q = _thumb(gray)
+        D = np.stack([self._kf_thumb[f] for f in fids])    # [K, 256]
+        scores = D @ q
+        order = np.argsort(-scores)[:top_m]
+        return [fids[i] for i in order]
+
     def _relocalize(self, frame: RGBDFrame, gray: np.ndarray) -> bool:
         """Pose recovery against the keyframe store. Returns True (and
         updates _cur_R/_cur_t) on success."""
         a = _pool_gray(gray)
         scored = []
-        for fid in self._kf_order:
-            kf = self.keyframes[fid]
-            scored.append((_peak_corr(a, _pool_gray(kf.gray)), fid))
+        for fid in self._shortlist(gray, self._kf_order, 8):
+            scored.append((_peak_corr(a, self._kf_pooled[fid]), fid))
         scored.sort(reverse=True)
         for score, fid in scored[:3]:
             if score < self.reloc_appearance_th:
@@ -937,7 +1085,15 @@ class TrackingFrontend:
             world = np.stack([self.landmarks[int(i)].world
                               for i in self._track_lm[has3d]])
             xn = self._normalize(self._track_px[has3d])
-            R, t, inl_sub = pnp_gn(world, xn, self._cur_R, self._cur_t)
+            # IMU prediction seeds the PnP when available (better basin
+            # of attraction than the previous frame's pose under fast
+            # motion — Tracking::PredictStateIMU's role)
+            if self._imu_pred is not None:
+                R0 = self._imu_pred[0].T.astype(np.float32)
+                t0 = (-(R0 @ self._imu_pred[1])).astype(np.float32)
+            else:
+                R0, t0 = self._cur_R, self._cur_t
+            R, t, inl_sub = pnp_gn(world, xn, R0, t0)
             if R is not None and inl_sub.sum() < self.min_inliers:
                 R = None
         if R is None:
@@ -945,6 +1101,7 @@ class TrackingFrontend:
 
         self._lost_streak = 0
         self._cur_R, self._cur_t = R, t
+        self._imu_update_velocity()
         self._store_pose(frame.index)
 
         # drop PnP outliers (bad associations)
@@ -1058,6 +1215,7 @@ class TrackingFrontend:
         self.keyframes[ref_frame.index] = kf0
         self._kf_order.append(ref_frame.index)
         self.n_keyframes_created += 1
+        self._register_kf_appearance(ref_frame.index, ref_gray)
 
         # current pose: cam2 = Rrel @ cam1 + trel composed with ref pose
         self._cur_R = (Rrel @ R0).astype(np.float32)
@@ -1102,6 +1260,12 @@ class TrackingFrontend:
         self.keyframes[fid] = kf
         self._kf_order.append(fid)
         self.n_keyframes_created += 1
+        self._register_kf_appearance(fid, gray)
+        if self.use_imu:
+            if self.imu_ready:
+                self._imu_since_kf = None
+            else:
+                self._imu_collect_init(kf)
 
         if self.sensor == "mono":
             new_xyz, new_col, n_obs_kf = self._mono_observe_and_extend(
@@ -1295,6 +1459,7 @@ class TrackingFrontend:
             T_rel[:3, 3] *= s
             self._frame_ref[f] = (ref_fid, T_rel)
         self._cur_t = (self._cur_t * s).astype(np.float32)
+        self._v_w = self._v_w * s   # world velocity rides the map scale
 
     def _packet_for(self, fid: int, frame: RGBDFrame,
                     lf_image: Optional[np.ndarray]) -> KeyframePacket:
@@ -1419,19 +1584,27 @@ class TrackingFrontend:
         anchors and starve the mapper of views."""
         protected = set(self._kf_order[-max(self.ba_window, 3):])
         protected.add(self._kf_order[0])
+        # ONE pass over landmarks builds per-KF (observed, redundant)
+        # counters — the per-KF × per-landmark double loop was
+        # O(KFs * landmarks * obs) per new keyframe, quadratic pain at
+        # ScanNet scale. For each landmark: every live observer sees it;
+        # an observer's "others" count is (live observers - 1), so the
+        # landmark is redundant for ALL its observers iff live >= 5.
+        n_obs: dict[int, int] = {}
+        n_red: dict[int, int] = {}
+        for lm in self.landmarks.values():
+            obs_f = lm.obs if lm.obs else lm.obs2d
+            live = [f for f in obs_f if f in self.keyframes]
+            red = len(live) - 1 >= 4
+            for f in live:
+                n_obs[f] = n_obs.get(f, 0) + 1
+                if red:
+                    n_red[f] = n_red.get(f, 0) + 1
         for fid in list(self._kf_order):
             if fid in protected:
                 continue
-            n_obs, n_red = 0, 0
-            for lm in self.landmarks.values():
-                obs_f = lm.obs if lm.obs else lm.obs2d
-                if fid in obs_f:
-                    n_obs += 1
-                    others = sum(1 for f in obs_f
-                                 if f != fid and f in self.keyframes)
-                    if others >= 4:
-                        n_red += 1
-            if n_obs and n_red / n_obs >= self.cull_redundancy:
+            no = n_obs.get(fid, 0)
+            if no and n_red.get(fid, 0) / no >= self.cull_redundancy:
                 self._remove_keyframe(fid)
                 break  # one per pass
         if self.max_keyframes_live > 0:
@@ -1448,6 +1621,8 @@ class TrackingFrontend:
 
     def _remove_keyframe(self, fid: int) -> None:
         self._kf_order.remove(fid)
+        self._kf_pooled.pop(fid, None)
+        self._kf_thumb.pop(fid, None)
         kf = self.keyframes.pop(fid, None)
         if kf is not None:  # freeze for trajectory reconstruction
             T = np.eye(4, dtype=np.float32)
@@ -1468,16 +1643,20 @@ class TrackingFrontend:
         op (LoopClosing.cc:1027-1034 push-site contract)."""
         if len(self._kf_order) <= self.loop_min_gap:
             return
-        a = _pool_gray(kf.gray)
+        a = self._kf_pooled.get(kf.fid)
+        if a is None:
+            a = _pool_gray(kf.gray)
         c_now = -(kf.R.T @ kf.t)
-        best, best_fid = self.loop_appearance_th, None
+        gated = []
         for old_fid in self._kf_order[:-self.loop_min_gap]:
             old = self.keyframes[old_fid]
             c_old = -(old.R.T @ old.t)
             # generous pose gate only to cut absurd candidates; drift-safe
-            if np.linalg.norm(c_now - c_old) > 6.0 * self.loop_radius:
-                continue
-            score = _peak_corr(a, _pool_gray(old.gray))
+            if np.linalg.norm(c_now - c_old) <= 6.0 * self.loop_radius:
+                gated.append(old_fid)
+        best, best_fid = self.loop_appearance_th, None
+        for old_fid in self._shortlist(kf.gray, gated, 8):
+            score = _peak_corr(a, self._kf_pooled[old_fid])
             if score > best:
                 best, best_fid = score, old_fid
         if best_fid is None:
@@ -1607,6 +1786,25 @@ def _pool_gray(gray: np.ndarray, f: int = 4) -> np.ndarray:
     g = gray[:h // f * f, :w // f * f].astype(np.float32)
     g = g.reshape(h // f, f, w // f, f).mean((1, 3))
     return g - g.mean()
+
+
+def _thumb(gray: np.ndarray, cells: int = 16) -> np.ndarray:
+    """Flattened zero-mean unit-norm block-mean thumbnail [cells*cells].
+    The vectorized candidate prefilter: one [K, 256] @ [256] product ranks
+    the whole keyframe store; coarse cells tolerate the image-space shifts
+    the FFT stage resolves exactly."""
+    h, w = gray.shape
+    fy, fx = max(h // cells, 1), max(w // cells, 1)
+    ny, nx = h // fy, w // fx
+    g = gray[:ny * fy, :nx * fx].astype(np.float32)
+    g = g.reshape(ny, fy, nx, fx).mean((1, 3))
+    g = g[:cells, :cells]
+    if g.shape != (cells, cells):   # tiny images: pad with the mean
+        out = np.full((cells, cells), float(g.mean()), np.float32)
+        out[:g.shape[0], :g.shape[1]] = g
+        g = out
+    v = (g - g.mean()).reshape(-1)
+    return v / (np.linalg.norm(v) + 1e-9)
 
 
 def _peak_corr(a: np.ndarray, b: np.ndarray) -> float:

@@ -45,10 +45,13 @@ def _step(st, view, gt_c, gt_d, mask, binning=None, i=1.0):
 
 
 def _binning(st, view):
+    # opacity-aware cull matches render_arrays' own uncached binning path
+    # (and the mapper's cache fill, mapper.py _get_binning)
     return compute_binning(
         st.params.xyz, jnp.exp(st.params.scaling), st.params.rotation,
         st.valid, view.world_view, view.full_proj, view.tan_fovx,
-        view.tan_fovy, width=W, height=H, cfg=CFG, max_per_tile=512)
+        view.tan_fovy, width=W, height=H, cfg=CFG, max_per_tile=512,
+        opacity=jax.nn.sigmoid(st.params.opacity[:, 0]))
 
 
 def test_fresh_cache_is_exact(scene):

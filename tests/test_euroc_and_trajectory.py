@@ -105,6 +105,13 @@ def euroc_dir(tmp_path):
         for i in range(5):
             ts = t0 + i * 50_000_000
             f.write(f"{ts},{0.1 * i},{0.02 * i},0.0,1,0,0,0\n")
+    imu = mav / "imu0"
+    imu.mkdir(parents=True)
+    with open(imu / "data.csv", "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for k in range(45):          # 200 Hz-ish, spanning all 5 frames
+            ts = t0 - 10_000_000 + k * 5_000_000
+            f.write(f"{ts},0.01,0.0,-0.02,0.1,0.0,9.81\n")
     return str(tmp_path / "seq")
 
 
@@ -122,3 +129,22 @@ def test_euroc_loader(euroc_dir):
     # GT body pose -> cam0 c2w (T_BS = identity for cam0)
     assert np.allclose(f.c2w[:3, 3], [0.2, 0.04, 0.0], atol=1e-6)
     assert abs(f.timestamp - 1403636579.763555584 - 0.1) < 1e-6
+
+
+def test_euroc_imu_between(euroc_dir):
+    """imu0 windows: frame i gets the cam0-frame sample block covering
+    (t_{i-1}, t_i], one anchor row before t_{i-1}, seconds + SI units —
+    the frontend `imu=` contract (slam/imu.py preintegrate ZOH)."""
+    ds = open_dataset(euroc_dir)
+    assert ds.imu_between(0) is None
+    blk = ds.imu_between(2)
+    assert blk is not None and blk.shape[1] == 7
+    t1, t2 = ds.read(1).timestamp, ds.read(2).timestamp
+    assert blk[0, 0] <= t1 and blk[-1, 0] <= t2 + 1e-9
+    assert blk[-1, 0] > t1
+    # 50 ms gap at 200 Hz -> ~10-12 rows, strictly ascending stamps
+    assert 8 <= blk.shape[0] <= 13
+    assert np.all(np.diff(blk[:, 0]) > 0)
+    # cam0 T_BS is identity -> samples pass through unrotated
+    assert np.allclose(blk[:, 4:7], [0.1, 0.0, 9.81], atol=1e-9)
+    assert np.allclose(blk[:, 1:4], [0.01, 0.0, -0.02], atol=1e-9)

@@ -60,8 +60,12 @@ def main():
     n_points = 20_000 if smoke else 200_000
     capacity = 1 << (15 if smoke else 18)
 
-    cfg = RasterizeConfig(tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
-                          chunk=chunk, backend="pallas",
+    tile_h = int(os.environ.get("PROF_TILE_H", "16"))
+    # span caps are in TILES: keep the same pixel coverage per gaussian
+    # when the tile height shrinks
+    span_y = max(8 * 16 // tile_h, 1)
+    cfg = RasterizeConfig(tile_h=tile_h, tile_w=128, max_span_x=4,
+                          max_span_y=span_y, chunk=chunk, backend="pallas",
                           max_pairs=1 << (16 if smoke else 20), mm_dtype=mm,
                           power_mode=pmode)
     opt = OptimizationParams()
@@ -89,7 +93,8 @@ def main():
                            s.params.rotation, s.valid, view.world_view,
                            view.full_proj, view.tan_fovx, view.tan_fovy,
                            width=width, height=height, cfg=cfg,
-                           max_per_tile=2048)
+                           max_per_tile=2048,
+                           opacity=jax.nn.sigmoid(s.params.opacity[:, 0]))
 
     def render(s, binning):
         p = s.params
@@ -202,6 +207,28 @@ def main():
         val, g = jax.value_and_grad(f)(c)
         return val + g[0, 0, 0]
 
+    @jax.jit
+    def grad_noloss(s, binning):
+        # value_and_grad of a trivial contraction of the render outputs:
+        # render_grad minus this = the mapping loss's true fwd+bwd
+        # marginal inside the fused graph (isolated segments oversum)
+        def f(params):
+            out = render(s.replace(params=params), binning)
+            return (jnp.sum(out.color) * 1e-3
+                    + jnp.sum(out.lang_feat) * 1e-4
+                    + jnp.sum(out.depth) * 1e-4)
+        val, g = jax.value_and_grad(f)(s.params)
+        return val + g.xyz[0, 0]
+
+    @jax.jit
+    def render_loss_fwd(s, binning):
+        # forward-only render + loss: render_grad minus this = the whole
+        # backward slice (loss bwd + bwd kernel + scatter + preprocess
+        # grad) as actually scheduled
+        out = render(s, binning)
+        return L.mapping_loss(out.color, gt_color, out.lang_feat, gt_lf,
+                              out.depth, gt_depth, mask, 0.2)
+
     def step(s, binning):
         return train_step(s, view.world_view, view.full_proj,
                           view.cam_center, view.tan_fovx, view.tan_fovy,
@@ -236,6 +263,8 @@ def main():
     float(scatter_only(gid_f, gm_f))
     float(render_fwd(st, binning))
     float(render_grad(st, binning))
+    float(grad_noloss(st, binning))
+    float(render_loss_fwd(st, binning))
     float(loss_only(rc, rlf, rd))
     s2, aux = step(st, binning)
     float(aux.loss)
@@ -262,6 +291,10 @@ def main():
         lambda: render_fwd(st, binning), fetch, iters)
     segs["render_grad"] = median_time(
         lambda: render_grad(st, binning), fetch, iters)
+    segs["grad_noloss"] = median_time(
+        lambda: grad_noloss(st, binning), fetch, iters)
+    segs["render_loss_fwd"] = median_time(
+        lambda: render_loss_fwd(st, binning), fetch, iters)
     segs["loss"] = median_time(lambda: loss_only(rc, rlf, rd), fetch, iters)
     segs["adam_stats"] = median_time(
         lambda: adam_stats_only(st, g_fake, m2_fake, r_fake), fetch, iters)
@@ -278,8 +311,8 @@ def main():
         save_peak_memory(os.path.join(trace_dir, "TpuPeakUsageMB.txt"))
 
     print(json.dumps(dict(
-        mm_dtype=mm, power_mode=pmode, chunk=chunk, width=width,
-        height=height,
+        mm_dtype=mm, power_mode=pmode, chunk=chunk, tile_h=cfg.tile_h,
+        width=width, height=height,
         n_points=n_points,
         num_rendered=int(binning[0].num_rendered),
         segments_ms={k: round(v * 1e3, 1) for k, v in segs.items()})))
