@@ -112,7 +112,7 @@ def main():
         dparams = D.init_params(dcfg, jax.random.key(0))
         pparams = PCA.PCAParams(
             mean=jnp.zeros(768, jnp.float32),
-            components=jnp.asarray(rng.normal(size=(768, 64)), jnp.float32))
+            components=jnp.asarray(rng.normal(size=(64, 768)), jnp.float32))
         encoder = LanguageFeaturesEncoder(dparams, pparams, dcfg)
         frame_rgb = jnp.asarray(rng.uniform(size=(height, width, 3)),
                                 jnp.float32)

@@ -16,6 +16,7 @@ a jax.profiler trace of one step_fresh call, PROF_SMOKE=1 tiny shapes.
 
 Usage: python tools/profile_step.py
 """
+import functools
 import json
 import os
 import sys
@@ -38,6 +39,24 @@ def median_time(fn, sync, iters):
         out = fn()
         sync(out)
         ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def pipelined_time(fn, sync, iters, depth):
+    """Per-call time with `depth` calls dispatched back-to-back and ONE
+    host sync at the end: the axon dispatch latency (~19 ms/call when
+    synced per call) overlaps device execution, so this approximates the
+    true device time per call — the number that matters inside the
+    production mapper, which syncs once per refresh group."""
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(depth):
+            out = fn()
+        sync(out)
+        ts.append((time.perf_counter() - t0) / depth)
     ts.sort()
     return ts[len(ts) // 2]
 
@@ -271,36 +290,42 @@ def main():
     s3, aux = step(st, None)
     float(aux.loss)
 
+    depth = int(os.environ.get("PROF_PIPELINE", "0"))
+    if depth > 1:
+        timer = functools.partial(pipelined_time, depth=depth)
+    else:
+        timer = median_time
+
     fetch = lambda x: float(x)  # noqa: E731
-    segs["binning"] = median_time(
+    segs["binning"] = timer(
         lambda: make_binning(st), lambda b: int(b[0].num_rendered), iters)
-    segs["preprocess"] = median_time(
+    segs["preprocess"] = timer(
         lambda: preprocess_only(st), fetch, iters)
-    segs["preprocess_grad"] = median_time(
+    segs["preprocess_grad"] = timer(
         lambda: preprocess_grad(st), fetch, iters)
-    segs["pair_gathers"] = median_time(
+    segs["pair_gathers"] = timer(
         lambda: pairs_only(st, binning), lambda o: float(o[2][0, 0]), iters)
-    segs["fwd_kernel"] = median_time(
+    segs["fwd_kernel"] = timer(
         lambda: kernel_only(*pp_out), fetch, iters)
-    segs["bwd_kernel"] = median_time(
+    segs["bwd_kernel"] = timer(
         lambda: bwd_kernel_only(*pp_out, gout_f, g1_f * 1e-3, g1_f * 0.5,
                                 gout_f), fetch, iters)
-    segs["scatter"] = median_time(
+    segs["scatter"] = timer(
         lambda: scatter_only(gid_f, gm_f), fetch, iters)
-    segs["render_fwd"] = median_time(
+    segs["render_fwd"] = timer(
         lambda: render_fwd(st, binning), fetch, iters)
-    segs["render_grad"] = median_time(
+    segs["render_grad"] = timer(
         lambda: render_grad(st, binning), fetch, iters)
-    segs["grad_noloss"] = median_time(
+    segs["grad_noloss"] = timer(
         lambda: grad_noloss(st, binning), fetch, iters)
-    segs["render_loss_fwd"] = median_time(
+    segs["render_loss_fwd"] = timer(
         lambda: render_loss_fwd(st, binning), fetch, iters)
-    segs["loss"] = median_time(lambda: loss_only(rc, rlf, rd), fetch, iters)
-    segs["adam_stats"] = median_time(
+    segs["loss"] = timer(lambda: loss_only(rc, rlf, rd), fetch, iters)
+    segs["adam_stats"] = timer(
         lambda: adam_stats_only(st, g_fake, m2_fake, r_fake), fetch, iters)
-    segs["step_cached"] = median_time(
+    segs["step_cached"] = timer(
         lambda: step(st, binning), lambda o: float(o[1].loss), iters)
-    segs["step_fresh"] = median_time(
+    segs["step_fresh"] = timer(
         lambda: step(st, None), lambda o: float(o[1].loss), iters)
 
     trace_dir = os.environ.get("PROF_TRACE")
