@@ -32,6 +32,34 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: long e2e tests (skip with -m 'not slow' for a quick pass)")
+    config.addinivalue_line(
+        "markers",
+        "smoke: core-correctness tier (~5 min: pallas-vs-XLA oracle "
+        "parity, tiled-vs-oracle render, train-step convergence, Adam "
+        "parity) — run with -m smoke between perf commits; the full "
+        "quick pass (-m 'not slow') stays the bar before a milestone "
+        "commit")
+
+
+# The smoke tier is curated by test id so perf work has a fast bar that
+# still catches kernel regressions (timings from the round-3 full run;
+# total ~290 s on the 1-CPU box).
+_SMOKE = {
+    "test_pallas_grad.py::test_pallas_backward_matches_xla",
+    "test_pallas_composite.py::test_pallas_forward_matches_xla",
+    "test_rasterize.py::test_tiled_matches_oracle",
+    "test_train_step.py::test_loss_decreases",
+    "test_gaussians.py::test_adam_matches_torch",
+    "test_gaussians.py::test_densify_clone_and_split",
+    "test_losses.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        if rel in _SMOKE or rel.split("::")[0] in _SMOKE:
+            item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture
