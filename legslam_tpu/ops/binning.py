@@ -80,35 +80,69 @@ def effective_radius(radius: jnp.ndarray, opacity: jnp.ndarray
     return jnp.minimum(r, radius.astype(jnp.float32)).astype(radius.dtype)
 
 
-def _cull_radius(radius: jnp.ndarray, opacity: jnp.ndarray) -> jnp.ndarray:
-    """Unclamped float alpha-support radius: alpha < ALPHA_MIN strictly
-    beyond it in ANY direction (isotropic bound via the max covariance
-    eigenvalue, sqrt(lam_max) <= radius/3)."""
-    from legslam_tpu.config import ALPHA_MIN
-    ratio = jnp.log(jnp.maximum(opacity, 1e-12) / ALPHA_MIN)
-    r = radius.astype(jnp.float32) / 3.0 * jnp.sqrt(
-        2.0 * jnp.maximum(ratio, 0.0))
-    # +0.5 px slack: the kernels evaluate alpha in their own f32 chain
-    # (conic + exp), which can differ from this bound's sqrt/log chain by
-    # ulps right at the alpha == ALPHA_MIN contour.
-    return jnp.where(opacity > ALPHA_MIN, r + 0.5, 0.0)
-
-
-def _corner_cull(in_span, tx, ty, mean2d_sorted, r_cull_sorted,
+def _corner_cull(in_span, tx, ty, cull_cols_sorted,
                  tile_w: int, tile_h: int):
-    """Drop candidate (gaussian, tile) pairs whose tile rectangle lies
-    entirely beyond the alpha-support radius from the gaussian center
-    (point-to-rect distance vs _cull_radius; conservative, so the drop is
-    exact). Shapes: in_span/tx [P, msy, msx] / [P, 1, msx],
-    ty [P, msy, 1]."""
-    px = mean2d_sorted[:, 0][:, None, None]
-    py = mean2d_sorted[:, 1][:, None, None]
-    xlo = tx.astype(jnp.float32) * tile_w
-    ylo = ty.astype(jnp.float32) * tile_h
-    dx = jnp.maximum(jnp.maximum(xlo - px, px - (xlo + tile_w - 1)), 0.0)
-    dy = jnp.maximum(jnp.maximum(ylo - py, py - (ylo + tile_h - 1)), 0.0)
-    r = r_cull_sorted[:, None, None]
-    return in_span & (dx * dx + dy * dy <= r * r)
+    """Drop candidate (gaussian, tile) pairs that cannot clear the
+    compositing kernels' alpha >= ALPHA_MIN keep mask ANYWHERE in the
+    tile: exact ANISOTROPIC test — minimize the conic quadratic form
+    q(d) = 0.5*(ca dx^2 + cc dy^2) + cb dx dy (the kernels' -power) over
+    the tile's pixel-center box and cull when op * exp(-q_min) <
+    ALPHA_MIN. The isotropic circle bound this replaces (point-to-rect
+    distance vs the lam_max support radius) keeps every corner tile an
+    elongated gaussian's circumscribed circle touches but its ellipse
+    does not — at mapping anisotropies that is a large fraction of all
+    pairs. The box is padded 0.5 px and the threshold gets a relative
+    slack so f32 ulp differences vs the kernels' own alpha chain cannot
+    drop a contributing pair (conservative => the cull stays
+    render-exact). Shapes: in_span [P, msy, msx], tx [P, 1, msx],
+    ty [P, msy, 1], cull_cols_sorted [P, 6] = (x, y, ca, cb, cc, thr)
+    with thr = ln(op / ALPHA_MIN) (<= 0 means cull everywhere)."""
+    cs = cull_cols_sorted
+    px = cs[:, 0][:, None, None]
+    py = cs[:, 1][:, None, None]
+    ca = cs[:, 2][:, None, None]
+    cb = cs[:, 3][:, None, None]
+    cc = cs[:, 4][:, None, None]
+    thr = cs[:, 5][:, None, None]
+    # tile pixel-center box in gaussian-centered coordinates, +0.5 slack
+    x0 = tx.astype(jnp.float32) * tile_w - px - 0.5
+    x1 = x0 + (tile_w - 1) + 1.0
+    y0 = ty.astype(jnp.float32) * tile_h - py - 0.5
+    y1 = y0 + (tile_h - 1) + 1.0
+
+    def q(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    # conic diagonals are > 0 for every valid gaussian (det>0 + lowpass);
+    # guard anyway so culled/invalid lanes stay finite
+    inv_ca = 1.0 / jnp.maximum(ca, 1e-12)
+    inv_cc = 1.0 / jnp.maximum(cc, 1e-12)
+    # exact min over the box: 0 if the center is inside, else the least
+    # of the four edge minima (PSD quadratic => the constrained min lies
+    # on the boundary when the unconstrained min is outside)
+    yx0 = jnp.clip(-cb * x0 * inv_cc, y0, y1)
+    yx1 = jnp.clip(-cb * x1 * inv_cc, y0, y1)
+    xy0 = jnp.clip(-cb * y0 * inv_ca, x0, x1)
+    xy1 = jnp.clip(-cb * y1 * inv_ca, x0, x1)
+    q_min = jnp.minimum(
+        jnp.minimum(q(x0, yx0), q(x1, yx1)),
+        jnp.minimum(q(xy0, y0), q(xy1, y1)))
+    inside = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+    q_min = jnp.where(inside, 0.0, q_min)
+    # relative + absolute slack on the threshold comparison (the kernels
+    # evaluate the same form in their own f32 op order)
+    keep = q_min <= thr * (1.0 + 1e-4) + 1e-5
+    return in_span & keep & (thr > 0.0)
+
+
+def _cull_cols(pre: Preprocessed, opacity: jnp.ndarray) -> jnp.ndarray:
+    """[P, 6] packed columns for _corner_cull (one fused row gather when
+    reordered by depth instead of three separate [P, small] gathers)."""
+    from legslam_tpu.config import ALPHA_MIN
+    thr = jnp.log(jnp.maximum(opacity, 1e-12) / ALPHA_MIN)
+    return jnp.stack(
+        [pre.mean2d[:, 0], pre.mean2d[:, 1], pre.conic[:, 0],
+         pre.conic[:, 1], pre.conic[:, 2], thr], axis=1)
 
 
 class Binning(NamedTuple):
@@ -189,8 +223,7 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
               (oy[None, :, None] < sy[:, None, None]) & v[:, None, None]
     if opacity is not None:
         in_span = _corner_cull(
-            in_span, tx, ty, pre.mean2d[order],
-            _cull_radius(pre.radius, opacity)[order],
+            in_span, tx, ty, _cull_cols(pre, opacity)[order],
             cfg.tile_w, cfg.tile_h)
     tid = ty * ntx + tx                                # [P, msy, msx]
 
@@ -290,8 +323,7 @@ def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
               (oy[None, :, None] < sy[:, None, None]) & v[:, None, None]
     if opacity is not None:
         in_span = _corner_cull(
-            in_span, tx, ty, pre.mean2d[order],
-            _cull_radius(pre.radius, opacity)[order],
+            in_span, tx, ty, _cull_cols(pre, opacity)[order],
             cfg.tile_w, cfg.tile_h)
     tid = ty * ntx + tx
     rank = jnp.arange(P, dtype=jnp.int32)
