@@ -12,6 +12,14 @@ Variants (env):
                          measured frame (examples/replica_rgbd.cpp:182 —
                          the reference's FPS includes it); random-init
                          weights, identical compute to converted ones.
+  BENCH_VARIANT=system   the FULL online pipeline per frame — visual
+                         tracking (KLT/RANSAC, C++ kernels) + encoder +
+                         keyframe ingest/densify + one mapping iteration
+                         — serialized end to end over a synthetic RGB-D
+                         sequence (the reference overlaps mapping in a
+                         thread, so serialized is the conservative
+                         reading of examples/replica_rgbd.cpp:146-199).
+                         Reports mean frame FPS over the steady state.
   BENCH_BINNING_REFRESH  per-view binning cache interval (default 4).
   BENCH_BACKEND          pallas (default) | xla.
   BENCH_SMOKE=1          tiny-shape smoke.
@@ -21,6 +29,80 @@ import os
 import time
 
 import numpy as np
+
+
+def _system_variant(width, height, n_points, cfg, refresh, smoke):
+    """BENCH_VARIANT=system: tracking + encoder + mapping per frame."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from legslam_tpu.data.synthetic import SyntheticDataset
+    from legslam_tpu.mapper.mapper import GaussianMapper
+    from legslam_tpu.models import dinov2 as D
+    from legslam_tpu.models import pca as PCA
+    from legslam_tpu.models.encoder import LanguageFeaturesEncoder
+    from legslam_tpu.slam.tracking import TrackingFrontend
+
+    rng = np.random.default_rng(0)
+    warm, timed = (2, 3) if smoke else (6, 18)
+    ds = SyntheticDataset(n_frames=warm + timed, width=width, height=height,
+                          n_gaussians=max(n_points // 5, 2000), seed=3,
+                          clutter_ratio=0.0, revolutions=0.25)
+    ds._cfg = cfg  # render GT frames through the bench (pallas) path
+    frames = [ds.read(i) for i in range(len(ds))]  # pre-generate, untimed
+
+    dcfg = D.DinoV2Config()
+    dparams = D.init_params(dcfg, jax.random.key(0))
+    pparams = PCA.PCAParams(
+        mean=jnp.zeros(768, jnp.float32),
+        components=jnp.asarray(rng.normal(size=(64, 768)), jnp.float32))
+    encoder = LanguageFeaturesEncoder(dparams, pparams, dcfg)
+
+    frontend = TrackingFrontend(ds.intrinsics, sensor="rgbd")
+    mapper = GaussianMapper(
+        frontend.queue, ds.intrinsics, cfg=cfg,
+        capacity=1 << (15 if smoke else 18),
+        result_dir="/tmp/bench_system",
+        binning_refresh_interval=refresh)
+
+    def frame_work(frame):
+        lf = np.asarray(encoder.create_language_features(frame.color))
+        frontend.track(frame, lf_image=lf)
+        mapper.drain_operations()
+        if mapper.state is None and mapper.has_met_initial_conditions():
+            mapper.initialize_map()
+        if mapper.state is not None:
+            mapper.train_iteration()
+
+    for f in frames[:warm]:          # warmup: compiles + map init
+        frame_work(f)
+    if mapper.state is None:
+        mapper.initialize_map()
+    mapper.train_iteration()
+    jax.block_until_ready(mapper.state.params.xyz)
+
+    t0 = time.perf_counter()
+    for f in frames[warm:]:
+        frame_work(f)
+    # one terminal sync: the mapper pipelines device dispatch
+    # (loss_sync_interval), so per-frame wall times would hide queued
+    # work — total/N with a final fetch is the honest system number
+    jax.block_until_ready(mapper.state.params.xyz)
+    float(mapper._last_aux.loss)
+    dt = (time.perf_counter() - t0) / timed
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "system_frame_fps_track_encode_map",
+        "value": round(fps, 3),
+        "unit": f"frames/s ({width}x{height} KLT tracking + dinov2+pca "
+                f"encoder + ingest/densify + 1 mapping iter/frame, "
+                f"serialized, {cfg.backend} backend, binning refresh "
+                f"{refresh})",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
 
 
 def main():
@@ -63,6 +145,10 @@ def main():
         max_pairs=1 << (16 if smoke else 20), mm_dtype=mm_dtype,
         power_mode=power_mode)
     opt = OptimizationParams()
+
+    if variant == "system":
+        return _system_variant(width, height, n_points, cfg, refresh,
+                               smoke)
 
     rng = np.random.default_rng(0)
     # synthetic Replica-like cloud: room-scale box in front of the camera
