@@ -78,6 +78,7 @@ class GaussianMapper:
                  binning_cache_entries: int = 16,
                  sensor_type: str = "rgbd",
                  n_views: int = 1,
+                 spatial_strips: int = 1,
                  mesh=None):
         self.source = source
         self.intr = intrinsics
@@ -136,12 +137,25 @@ class GaussianMapper:
         if n_views < 1:
             raise ValueError(f"n_views must be >= 1, got {n_views}")
         self.n_views = n_views
+        # spatial (tile-row) sharding of the single-view step
+        # (parallel/spatial.py): the image splits into `spatial_strips`
+        # whole-tile-row strips, each rendered + differentiated on its own
+        # device — accelerating the latency-critical one-keyframe
+        # iteration itself (vs n_views, which batches ACROSS keyframes).
+        if spatial_strips < 1:
+            raise ValueError(
+                f"spatial_strips must be >= 1, got {spatial_strips}")
+        if spatial_strips > 1 and n_views > 1:
+            raise ValueError("n_views and spatial_strips are separate "
+                             "mesh axes; combine is not supported yet")
+        self.spatial_strips = spatial_strips
         self._mesh = mesh
-        if n_views > 1 and mesh is None:
+        if mesh is None and (n_views > 1 or spatial_strips > 1):
             from legslam_tpu.parallel import sharded
             nd = len(jax.devices())
-            # largest mesh that divides the batch evenly
-            while n_views % nd:
+            # largest mesh that divides the batch/strips evenly
+            size = n_views if n_views > 1 else spatial_strips
+            while size % nd:
                 nd -= 1
             self._mesh = sharded.make_mesh(nd)
 
@@ -464,6 +478,64 @@ class GaussianMapper:
             self._binning_cache.pop(next(iter(self._binning_cache)))
         return binning
 
+    def _spatial_step(self, kf, lvl: int, view, gt_color, gt_lf, gt_depth,
+                      mask, include_lf: bool, lr_step: int):
+        """Single-view step, tile-row-sharded over the mesh
+        (parallel/spatial.py; exact same semantics as train_step)."""
+        from legslam_tpu.parallel import spatial, sharded
+        layout = spatial.spatial_layout(view.height, self.cfg.tile_h,
+                                        self.spatial_strips)
+        mesh = self._mesh if self._mesh is not None and \
+            self._mesh.devices.size > 1 else None
+        cys = spatial.strip_offsets(layout, mesh)
+        if include_lf:
+            gt_lf = spatial.pad_rows(gt_lf, layout.h_padded)
+        else:
+            gt_lf = jnp.zeros((layout.h_padded, view.width, 1), jnp.float32)
+        pads = [spatial.pad_rows(a, layout.h_padded)
+                for a in (gt_color, gt_depth, mask)]
+        if mesh is not None:
+            pads = spatial.shard_rows(pads, mesh)
+            gt_lf = spatial.shard_rows(gt_lf, mesh)
+            self.state = sharded.replicate_state(self.state, mesh)
+        binning = self._get_binning_spatial(kf, lvl, view, layout, cys)
+        return spatial.spatial_train_step(
+            self.state, view.world_view, view.full_proj, view.cam_center,
+            view.tan_fovx, view.tan_fovy, pads[0], gt_lf, pads[1], pads[2],
+            self.bg, jnp.asarray(float(lr_step)),
+            float(self.cameras_extent), cys,
+            width=view.width, height=view.height, h_local=layout.h_local,
+            active_sh_degree=self.active_sh_degree, opt=self.opt,
+            cfg=self.cfg, include_lang_feat=include_lf,
+            max_per_tile=self.max_per_tile, binning=binning)
+
+    def _get_binning_spatial(self, kf, lvl: int, view, layout, cys
+                             ) -> Optional[tuple]:
+        """Cached per-strip binning for (kf, level), same refresh /
+        invalidation policy as _get_binning."""
+        if self.binning_refresh_interval <= 1:
+            return None
+        from legslam_tpu.parallel import spatial
+        key = (kf.fid, lvl, "spatial")
+        entry = self._binning_cache.pop(key, None)
+        if entry is not None and entry[0] > 0:
+            uses_left, binning = entry
+            self._binning_cache[key] = (uses_left - 1, binning)
+            return binning
+        st = self.state
+        binning = spatial.spatial_compute_binning(
+            st.params.xyz, jnp.exp(st.params.scaling), st.params.rotation,
+            st.valid, view.world_view, view.full_proj, view.tan_fovx,
+            view.tan_fovy, cys, width=view.width, height=view.height,
+            h_local=layout.h_local, cfg=self.cfg,
+            max_per_tile=self.max_per_tile,
+            opacity=jax.nn.sigmoid(st.params.opacity[:, 0]))
+        self._binning_cache[key] = (self.binning_refresh_interval - 1,
+                                    binning)
+        while len(self._binning_cache) > self.binning_cache_entries:
+            self._binning_cache.pop(next(iter(self._binning_cache)))
+        return binning
+
     def train_iteration(self) -> Optional[float]:
         """One trainForOneIteration (gaussian_mapper.cpp:624-798)."""
         if self.state is None:
@@ -495,17 +567,23 @@ class GaussianMapper:
         lr_step = min(kf.record.get("used", 1),
                       self.mp.position_lr_max_steps_slam)
 
-        binning = self._get_binning(kf, lvl, view)
-        t0 = time.perf_counter()
-        self.state, aux = train_step(
-            self.state, view.world_view, view.full_proj, view.cam_center,
-            view.tan_fovx, view.tan_fovy, gt_color, gt_lf, gt_depth, mask,
-            self.bg, jnp.asarray(float(lr_step)),
-            float(self.cameras_extent),
-            width=view.width, height=view.height,
-            active_sh_degree=self.active_sh_degree, opt=opt, cfg=self.cfg,
-            include_lang_feat=include_lf, max_per_tile=self.max_per_tile,
-            binning=binning)
+        if self.spatial_strips > 1:
+            t0 = time.perf_counter()
+            self.state, aux = self._spatial_step(
+                kf, lvl, view, gt_color, gt_lf, gt_depth, mask,
+                include_lf, lr_step)
+        else:
+            binning = self._get_binning(kf, lvl, view)
+            t0 = time.perf_counter()
+            self.state, aux = train_step(
+                self.state, view.world_view, view.full_proj,
+                view.cam_center, view.tan_fovx, view.tan_fovy, gt_color,
+                gt_lf, gt_depth, mask, self.bg,
+                jnp.asarray(float(lr_step)), float(self.cameras_extent),
+                width=view.width, height=view.height,
+                active_sh_degree=self.active_sh_degree, opt=opt,
+                cfg=self.cfg, include_lang_feat=include_lf,
+                max_per_tile=self.max_per_tile, binning=binning)
         # avoid a host sync every iteration (the device dispatch pipeline
         # hides transfer latency); fetch the loss only periodically
         self._last_aux = aux

@@ -173,15 +173,23 @@ def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
                     tan_fovx, tan_fovy, width: int, height: int,
                     cfg: RasterizeConfig, max_per_tile: int = 2048,
                     scale_modifier: float = 1.0,
-                    opacity: jnp.ndarray | None = None):
+                    opacity: jnp.ndarray | None = None,
+                    crop_y: jnp.ndarray | None = None,
+                    crop_h: int | None = None):
     """Standalone binning for callers that cache it (activated scales +
-    activated opacity expected, like render_arrays)."""
+    activated opacity expected, like render_arrays). crop_y/crop_h bin only
+    the pixel-row strip [crop_y, crop_y+crop_h) — see render_arrays."""
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
     pre = preprocess(
         means3d, scales, normalize_quat(quats), valid, world_view,
         full_proj, width, height, focal_x, focal_y, tan_fovx, tan_fovy,
         scale_modifier)
+    if crop_y is not None:
+        shift = jnp.stack([jnp.zeros_like(jnp.float32(crop_y)),
+                           jnp.float32(crop_y)])
+        pre = pre._replace(mean2d=pre.mean2d - shift[None, :])
+        height = crop_h
     return make_binning(pre, width, height, cfg, max_per_tile,
                         opacity=opacity)
 
@@ -200,9 +208,21 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
                   max_per_tile: int = 2048,
                   colors_precomp: jnp.ndarray | None = None,
                   stop_depth_grad: bool = True,
-                  binning=None) -> RasterizeOutput:
+                  binning=None,
+                  crop_y: jnp.ndarray | None = None,
+                  crop_h: int | None = None) -> RasterizeOutput:
     """Core render on raw arrays (jit/grad-friendly: width/height static,
-    everything else traceable). See `rasterize` for argument docs."""
+    everything else traceable). See `rasterize` for argument docs.
+
+    crop_y/crop_h render only the pixel-row strip [crop_y, crop_y+crop_h)
+    of the FULL image (projection, EWA clamp and focal all stay full-image
+    exact; only binning + compositing shrink to the strip). crop_y is
+    traceable (it may be `lax.axis_index`-derived inside shard_map — the
+    spatial tile-sharding path, parallel/spatial.py), crop_h is static and
+    should be a tile_h multiple. Output arrays are [crop_h, W]. Strip
+    renders are exact vs the matching rows of the full render whenever the
+    full render reports span_overflow == 0 (a strip clamps a gaussian's
+    tile rect at the strip edge, so the static span cap truncates less)."""
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
     quats = normalize_quat(quats)
@@ -211,6 +231,11 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
         width, height, focal_x, focal_y, tan_fovx, tan_fovy, scale_modifier)
     if mean2d_offset is not None:
         pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
+    if crop_y is not None:
+        shift = jnp.stack([jnp.zeros_like(jnp.float32(crop_y)),
+                           jnp.float32(crop_y)])
+        pre = pre._replace(mean2d=pre.mean2d - shift[None, :])
+    height = height if crop_h is None else crop_h
 
     if colors_precomp is not None:
         rgb = colors_precomp

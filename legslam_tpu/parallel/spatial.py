@@ -1,0 +1,203 @@
+"""Multi-chip training: spatial (tile-row) sharding of a SINGLE view.
+
+The second TPU-native scaling axis, complementing parallel/sharded.py's
+data-parallel multi-view batching: the image is split into horizontal
+strips of whole tile rows, each device renders + differentiates ONLY its
+strip against the replicated Gaussian store, and XLA reduces the parameter
+gradients over ICI. This accelerates the latency-critical single-keyframe
+mapping iteration itself (gaussian_mapper.cpp:624-798 renders one view per
+iteration — the reference has no equivalent, being strictly single-GPU,
+SURVEY.md §2 end).
+
+How a strip render stays exact (ops/rasterize.py crop_y/crop_h): the
+projection, EWA clamp and focal lengths are computed for the FULL image,
+then the screen-space means are shifted by the strip's row offset and
+binning + compositing run at the strip height. Per-tile pair lists and
+front-to-back order are identical to the full render, so strip outputs
+match the full render's rows bit-for-bit per tile (see
+tests/test_spatial.py) whenever the full render has span_overflow == 0.
+
+Loss decomposition (must reproduce ops/losses.mapping_loss over the full
+image exactly):
+  * L1(color) + DSSIM need cross-strip windows -> reassemble the strip
+    colors into the full image (cheap: [H, W, 3]) and reuse the library
+    terms verbatim.
+  * LF-cosine and depth-L1 are pixel-pointwise means -> computed on the
+    reassembled (still row-sharded) padded arrays with zeroed pad rows and
+    rescaled by H_pad / H, which equals the full-image mean because padded
+    rows contribute exactly zero (masked render, zero GT).
+
+Layout: Gaussian state replicated; GT tensors padded to H_pad = n_strips *
+h_local rows and sharded on the row axis; the cached per-strip binning
+(spatial_compute_binning) sharded on its leading strip axis.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from legslam_tpu.config import OptimizationParams, RasterizeConfig
+from legslam_tpu.mapper.train_step import StepAux, make_lrs
+from legslam_tpu.models import gaussians as G
+from legslam_tpu.ops import losses
+from legslam_tpu.ops.rasterize import compute_binning, render_arrays
+
+
+class SpatialLayout(NamedTuple):
+    n_strips: int
+    h_local: int       # strip height in pixels (tile_h multiple)
+    h_padded: int      # n_strips * h_local >= image height
+
+
+def spatial_layout(height: int, tile_h: int, n_strips: int) -> SpatialLayout:
+    """Split `height` pixel rows into n_strips whole-tile-row strips."""
+    nty = -(-height // tile_h)
+    rows_per = -(-nty // n_strips)
+    return SpatialLayout(n_strips=n_strips, h_local=rows_per * tile_h,
+                         h_padded=n_strips * rows_per * tile_h)
+
+
+def pad_rows(arr: jnp.ndarray, h_padded: int) -> jnp.ndarray:
+    """Zero-pad the leading (row) axis to h_padded."""
+    pad = [(0, h_padded - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad)
+
+
+def shard_rows(tree, mesh: Mesh, axis: str = "data"):
+    """Place row-padded image tensors with the row axis sharded."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def strip_offsets(layout: SpatialLayout, mesh: Mesh | None = None,
+                  axis: str = "data") -> jnp.ndarray:
+    """[n_strips] pixel-row offset of each strip; sharded when a mesh is
+    given so XLA pins the strip axis of everything vmapped over it."""
+    ys = jnp.arange(layout.n_strips, dtype=jnp.float32) * layout.h_local
+    if mesh is not None:
+        ys = jax.device_put(ys, NamedSharding(mesh, P(axis)))
+    return ys
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cfg", "max_per_tile", "h_local"))
+def spatial_compute_binning(means3d, scales, quats, valid, world_view,
+                            full_proj, tan_fovx, tan_fovy, crop_ys,
+                            *, width: int, height: int, h_local: int,
+                            cfg: RasterizeConfig, max_per_tile: int = 2048,
+                            opacity=None):
+    """Per-strip binning cache: vmap of ops.rasterize.compute_binning over
+    the strip offsets. Leaves get a leading [n_strips] axis that callers
+    keep sharded on the mesh (shard_rows). Activated scales/opacity, like
+    compute_binning."""
+    def one(cy):
+        return compute_binning(
+            means3d, scales, quats, valid, world_view, full_proj,
+            tan_fovx, tan_fovy, width=width, height=height, cfg=cfg,
+            max_per_tile=max_per_tile, opacity=opacity,
+            crop_y=cy, crop_h=h_local)
+    return jax.vmap(one)(crop_ys)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "active_sh_degree", "opt", "cfg",
+                     "include_lang_feat", "max_per_tile", "h_local"))
+def spatial_train_step(state: G.GaussianState,
+                       world_view, full_proj, cam_center, tan_fovx,
+                       tan_fovy, gt_color_pad, gt_lang_feat_pad,
+                       gt_depth_pad, mask_pad, bg, position_lr_step,
+                       spatial_lr_scale, crop_ys,
+                       *, width: int, height: int, h_local: int,
+                       active_sh_degree: int, opt: OptimizationParams,
+                       cfg: RasterizeConfig, include_lang_feat: bool = True,
+                       max_per_tile: int = 2048, binning=None):
+    """One single-view optimization iteration, tile-row-sharded.
+
+    Semantics match mapper/train_step.train_step on the same view exactly
+    (same loss, same gradients, same Adam update, same densify stats):
+    strips partition the pixels, so per-parameter gradients are the sum of
+    strip gradients and the screen-space densify grads accumulate once per
+    gaussian like a single-view step. GT tensors come in padded to
+    h_padded = n_strips * h_local rows (pad_rows) with mask zero on pad
+    rows; `binning` is an optional cached spatial_compute_binning result.
+    """
+    p = state.params
+    H_pad = gt_color_pad.shape[0]
+    n_strips = crop_ys.shape[0]
+    assert H_pad == n_strips * h_local, (H_pad, n_strips, h_local)
+    # one shared offset, like the single-view step: strip mean2d grads sum
+    # into the exact single-view screen-space grad (strips partition pixels)
+    offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+    lam = opt.lambda_dssim
+    rescale = H_pad / float(height)  # zero-pad-row mean correction
+
+    def loss_fn(xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation,
+                mean2d_offset):
+        sh = jnp.concatenate([f_dc, f_rest], axis=1)
+
+        def strip(cy, b):
+            out = render_arrays(
+                xyz, sh, lang_feat, jax.nn.sigmoid(opacity[:, 0]),
+                jnp.exp(scaling), rotation, state.valid, world_view,
+                full_proj, cam_center, tan_fovx, tan_fovy, width, height,
+                bg, active_sh_degree, cfg,
+                include_lang_feat=include_lang_feat,
+                mean2d_offset=mean2d_offset, max_per_tile=max_per_tile,
+                binning=b, crop_y=cy, crop_h=h_local)
+            lf = out.lang_feat if include_lang_feat else \
+                jnp.zeros(out.color.shape[:2] + (0,), out.color.dtype)
+            return (out.color, lf, out.depth, out.radii, out.num_rendered,
+                    out.overflow_pairs)
+
+        outs = jax.vmap(strip, in_axes=(0, 0 if binning is not None
+                                        else None))(crop_ys, binning)
+        color = outs[0].reshape(H_pad, width, 3)
+        depth = outs[2].reshape(H_pad, width)
+
+        # mapping_loss decomposition (gaussian_mapper.cpp:711-721 /
+        # ops/losses.mapping_loss: mask multiplies ONLY the rendered side)
+        m3 = mask_pad[..., None]
+        pc_full = (color * m3)[:height]
+        loss = (1.0 - lam) * losses.l1_loss(pc_full, gt_color_pad[:height]) \
+            + lam * (1.0 - losses.ssim(pc_full, gt_color_pad[:height]))
+        if include_lang_feat:
+            lf_img = outs[1].reshape(H_pad, width, -1)
+            loss = loss + rescale * losses.lf_cosine_similarity(
+                lf_img * m3, gt_lang_feat_pad)
+        loss = loss + rescale * losses.l1_loss(depth * mask_pad,
+                                               gt_depth_pad)
+        return loss, (color, depth, outs[3], jnp.sum(outs[4]),
+                      jnp.sum(outs[5]))
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=tuple(range(8)),
+                                 has_aux=True)
+    (loss, (color, depth, radii_s, num_rendered, overflow)), grads = \
+        grad_fn(p.xyz, p.f_dc, p.f_rest, p.lang_feat, p.opacity, p.scaling,
+                p.rotation, offset0)
+    g_params = G.GaussianParams(
+        xyz=grads[0], f_dc=grads[1], f_rest=grads[2], lang_feat=grads[3],
+        opacity=grads[4], scaling=grads[5], rotation=grads[6])
+    g_params = jax.tree.map(
+        lambda g: jnp.where(
+            state.valid[(...,) + (None,) * (g.ndim - 1)], g, 0.0), g_params)
+
+    radii = jnp.max(radii_s, axis=0)  # identical per strip (full preprocess)
+    ndc_scale = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
+    state = G.add_densification_stats(state, grads[7] * ndc_scale[None, :],
+                                      radii)
+    lrs = make_lrs(opt, spatial_lr_scale, position_lr_step)
+    state = G.adam_update(state, g_params, lrs)
+
+    mh = mask_pad[:height][..., None]
+    psnr = losses.psnr(color[:height] * mh,
+                       gt_color_pad[:height] * mh)
+    return state, StepAux(loss=loss, color=color[:height],
+                          depth=depth[:height], radii=radii, psnr=psnr,
+                          num_rendered=num_rendered,
+                          overflow_pairs=overflow)
