@@ -201,3 +201,134 @@ def spatial_train_step(state: G.GaussianState,
                           depth=depth[:height], radii=radii, psnr=psnr,
                           num_rendered=num_rendered,
                           overflow_pairs=overflow)
+
+
+def make_mesh2d(n_views: int, n_strips: int, devices=None) -> Mesh:
+    """('data', 'strip') 2D mesh: views x strips = n_views * n_strips
+    devices — the composition of both scaling axes (each view's image is
+    strip-sharded while views run data-parallel)."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    need = n_views * n_strips
+    if len(devices) < need:
+        raise ValueError(
+            f"make_mesh2d({n_views}, {n_strips}): only {len(devices)} "
+            f"devices available for a {need}-device mesh")
+    grid = np.array(devices[:need]).reshape(n_views, n_strips)
+    return Mesh(grid, axis_names=("data", "strip"))
+
+
+def shard_batch_rows(batch, mesh: Mesh) -> "object":
+    """Place a ViewBatch whose GT images are row-padded: batch axis over
+    'data', image rows over 'strip' (poses/fovs batch-only)."""
+    img = NamedSharding(mesh, P("data", "strip"))
+    vec = NamedSharding(mesh, P("data"))
+    return type(batch)(
+        world_view=jax.device_put(batch.world_view, vec),
+        full_proj=jax.device_put(batch.full_proj, vec),
+        cam_center=jax.device_put(batch.cam_center, vec),
+        tan_fovx=jax.device_put(batch.tan_fovx, vec),
+        tan_fovy=jax.device_put(batch.tan_fovy, vec),
+        gt_color=jax.device_put(batch.gt_color, img),
+        gt_lang_feat=jax.device_put(batch.gt_lang_feat, img),
+        gt_depth=jax.device_put(batch.gt_depth, img),
+        mask=jax.device_put(batch.mask, img))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "active_sh_degree", "opt", "cfg",
+                     "include_lang_feat", "max_per_tile", "h_local"))
+def spatial_batched_train_step(state: G.GaussianState, batch,
+                               bg, position_lr_step, spatial_lr_scale,
+                               crop_ys,
+                               *, width: int, height: int, h_local: int,
+                               active_sh_degree: int,
+                               opt: OptimizationParams,
+                               cfg: RasterizeConfig,
+                               include_lang_feat: bool = True,
+                               max_per_tile: int = 2048):
+    """Both axes at once: data-parallel over keyframes AND tile-row
+    sharded within each view (parallel/sharded.batched_train_step with
+    each per-view render decomposed like spatial_train_step). `batch` is
+    a sharded.ViewBatch whose GT images are row-padded to
+    n_strips * h_local (pad_rows) — shard with shard_batch_rows on a
+    make_mesh2d ('data', 'strip') mesh. Semantics: identical to the
+    DP batched step (per-view masked loss mean, per-view densify stats).
+    """
+    p = state.params
+    B, H_pad = batch.gt_color.shape[:2]
+    lam = opt.lambda_dssim
+    rescale = H_pad / float(height)
+    offset0 = jnp.zeros((B, state.capacity, 2), jnp.float32)
+
+    def view_loss(params_tuple, one, off):
+        xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation = \
+            params_tuple
+        sh = jnp.concatenate([f_dc, f_rest], axis=1)
+
+        def strip(cy):
+            out = render_arrays(
+                xyz, sh, lang_feat, jax.nn.sigmoid(opacity[:, 0]),
+                jnp.exp(scaling), rotation, state.valid, one.world_view,
+                one.full_proj, one.cam_center, one.tan_fovx, one.tan_fovy,
+                width, height, bg, active_sh_degree, cfg,
+                include_lang_feat=include_lang_feat, mean2d_offset=off,
+                max_per_tile=max_per_tile, crop_y=cy, crop_h=h_local)
+            lf = out.lang_feat if include_lang_feat else \
+                jnp.zeros(out.color.shape[:2] + (0,), out.color.dtype)
+            return (out.color, lf, out.depth, out.radii,
+                    out.overflow_pairs)
+
+        outs = jax.vmap(strip)(crop_ys)
+        color = outs[0].reshape(H_pad, width, 3)
+        depth = outs[2].reshape(H_pad, width)
+        m3 = one.mask[..., None]
+        pc_full = (color * m3)[:height]
+        loss = (1.0 - lam) * losses.l1_loss(pc_full,
+                                            one.gt_color[:height]) \
+            + lam * (1.0 - losses.ssim(pc_full, one.gt_color[:height]))
+        if include_lang_feat:
+            lf_img = outs[1].reshape(H_pad, width, -1)
+            loss = loss + rescale * losses.lf_cosine_similarity(
+                lf_img * m3, one.gt_lang_feat)
+        loss = loss + rescale * losses.l1_loss(depth * one.mask,
+                                               one.gt_depth)
+        return loss, (color[:height], depth[:height],
+                      jnp.max(outs[3], axis=0), jnp.sum(outs[4]))
+
+    def total_loss(xyz, f_dc, f_rest, lang_feat, opacity, scaling,
+                   rotation, off):
+        params_tuple = (xyz, f_dc, f_rest, lang_feat, opacity, scaling,
+                        rotation)
+        per_view = jax.vmap(
+            lambda one, o: view_loss(params_tuple, one, o))(batch, off)
+        loss = jnp.mean(per_view[0])
+        color, depth, radii, overflow = per_view[1]
+        return loss, (color, depth, radii, overflow)
+
+    grad_fn = jax.value_and_grad(total_loss, argnums=tuple(range(8)),
+                                 has_aux=True)
+    (loss, (color, depth, radii, overflow)), grads = grad_fn(
+        p.xyz, p.f_dc, p.f_rest, p.lang_feat, p.opacity, p.scaling,
+        p.rotation, offset0)
+    g_params = G.GaussianParams(
+        xyz=grads[0], f_dc=grads[1], f_rest=grads[2], lang_feat=grads[3],
+        opacity=grads[4], scaling=grads[5], rotation=grads[6])
+    g_params = jax.tree.map(
+        lambda g: jnp.where(
+            state.valid[(...,) + (None,) * (g.ndim - 1)], g, 0.0), g_params)
+
+    ndc_scale = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
+    per_view_grads = grads[7] * float(B) * ndc_scale[None, None, :]
+    state = G.add_densification_stats_batched(state, per_view_grads,
+                                              radii)
+    lrs = make_lrs(opt, spatial_lr_scale, position_lr_step)
+    state = G.adam_update(state, g_params, lrs)
+
+    mh = batch.mask[:, :height][..., None]
+    psnr = losses.psnr(color * mh, batch.gt_color[:, :height] * mh)
+    return state, StepAux(loss=loss, color=color[0], depth=depth[0],
+                          radii=jnp.max(radii, axis=0), psnr=psnr,
+                          num_rendered=0,
+                          overflow_pairs=jnp.sum(overflow))

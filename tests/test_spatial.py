@@ -160,3 +160,57 @@ def test_crop_render_pallas_interpret(rng):
     np.testing.assert_allclose(c, np.asarray(full.color), atol=1e-5)
     d = np.concatenate([np.asarray(s.depth) for s in strips])[:h]
     np.testing.assert_allclose(d, np.asarray(full.depth), atol=1e-5)
+
+
+def test_spatial_batched_2d_mesh(rng):
+    """views x strips 2D mesh (4 views x 2 strips on 8 devices): the
+    combined step equals the DP batched step on the same batch."""
+    from legslam_tpu.parallel.spatial import (make_mesh2d,
+                                              spatial_batched_train_step,
+                                              shard_batch_rows)
+    assert len(jax.devices()) == 8
+    mesh = make_mesh2d(4, 2)
+    st = _scene(rng)
+    views = [simple_view(width=W, height=H, fx=60.0, fy=60.0)
+             for _ in range(4)]
+    layout = spatial.spatial_layout(H, CFG.tile_h, 2)
+    B = 4
+    gt_color = jnp.asarray(rng.uniform(size=(B, H, W, 3)), jnp.float32)
+    gt_lf = jnp.asarray(rng.normal(size=(B, H, W, 64)), jnp.float32)
+    gt_depth = jnp.full((B, H, W), 2.5, jnp.float32)
+    mask = jnp.ones((B, H, W), jnp.float32)
+    batch = sharded.ViewBatch(
+        world_view=jnp.stack([v.world_view for v in views]),
+        full_proj=jnp.stack([v.full_proj for v in views]),
+        cam_center=jnp.stack([v.cam_center for v in views]),
+        tan_fovx=jnp.asarray([v.tan_fovx for v in views], jnp.float32),
+        tan_fovy=jnp.asarray([v.tan_fovy for v in views], jnp.float32),
+        gt_color=gt_color, gt_lang_feat=gt_lf, gt_depth=gt_depth,
+        mask=mask)
+    pad = lambda a: jax.vmap(lambda x: spatial.pad_rows(
+        x, layout.h_padded))(a)
+    batch_pad = batch._replace(gt_color=pad(gt_color),
+                               gt_lang_feat=pad(gt_lf),
+                               gt_depth=pad(gt_depth), mask=pad(mask))
+    st_r = sharded.replicate_state(st, mesh)
+    batch_pad = shard_batch_rows(batch_pad, mesh)
+    cys = spatial.strip_offsets(layout)
+    st_2d, aux_2d = spatial_batched_train_step(
+        st_r, batch_pad, jnp.zeros(3), jnp.asarray(0.0), 1.0, cys,
+        width=W, height=H, h_local=layout.h_local, active_sh_degree=0,
+        opt=OPT, cfg=CFG, max_per_tile=128)
+    st_dp, aux_dp = sharded.batched_train_step(
+        st, batch, jnp.zeros(3), jnp.asarray(0.0), 1.0,
+        width=W, height=H, active_sh_degree=0, opt=OPT, cfg=CFG,
+        max_per_tile=128)
+    np.testing.assert_allclose(float(aux_2d.loss), float(aux_dp.loss),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(aux_2d.color),
+                               np.asarray(aux_dp.color), atol=1e-6)
+    for name in ("xyz", "opacity", "scaling", "lang_feat"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_2d.params, name)),
+            np.asarray(getattr(st_dp.params, name)),
+            atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(st_2d.stats.denom),
+                               np.asarray(st_dp.stats.denom), atol=0)
