@@ -145,12 +145,15 @@ class GaussianMapper:
         if spatial_strips < 1:
             raise ValueError(
                 f"spatial_strips must be >= 1, got {spatial_strips}")
-        if spatial_strips > 1 and n_views > 1:
-            raise ValueError("n_views and spatial_strips are separate "
-                             "mesh axes; combine is not supported yet")
         self.spatial_strips = spatial_strips
         self._mesh = mesh
-        if mesh is None and (n_views > 1 or spatial_strips > 1):
+        if mesh is None and n_views > 1 and spatial_strips > 1:
+            # combined ('data', 'strip') 2D mesh when enough devices exist;
+            # otherwise the vmap composition still runs on fewer devices
+            from legslam_tpu.parallel import spatial as sp
+            if len(jax.devices()) >= n_views * spatial_strips:
+                self._mesh = sp.make_mesh2d(n_views, spatial_strips)
+        elif mesh is None and (n_views > 1 or spatial_strips > 1):
             from legslam_tpu.parallel import sharded
             nd = len(jax.devices())
             # largest mesh that divides the batch/strips evenly
@@ -674,18 +677,44 @@ class GaussianMapper:
             gt_lang_feat=gt_lf,
             gt_depth=jnp.stack([kf.gt_depth[lvl] for kf in kfs]),
             mask=jnp.stack([kf.mask[lvl] for kf in kfs]))
-        if self._mesh is not None and self._mesh.devices.size > 1:
-            batch = sharded.shard_batch(batch, self._mesh)
-            self.state = sharded.replicate_state(self.state, self._mesh)
         lr_step = min(
             max(kf.record.get("used", 1) for kf in kfs),
             self.mp.position_lr_max_steps_slam)
+        is2d = self.spatial_strips > 1
+        if is2d:
+            from legslam_tpu.parallel import spatial as sp
+            layout = sp.spatial_layout(h, self.cfg.tile_h,
+                                       self.spatial_strips)
+            pad = jax.vmap(lambda x: sp.pad_rows(x, layout.h_padded))
+            batch = batch._replace(
+                gt_color=pad(batch.gt_color),
+                gt_lang_feat=pad(batch.gt_lang_feat),
+                gt_depth=pad(batch.gt_depth), mask=pad(batch.mask))
+            cys = sp.strip_offsets(layout)
+        if self._mesh is not None and self._mesh.devices.size > 1:
+            if is2d and "strip" in self._mesh.axis_names:
+                from legslam_tpu.parallel import spatial as sp
+                batch = sp.shard_batch_rows(batch, self._mesh)
+            else:
+                batch = sharded.shard_batch(batch, self._mesh)
+            self.state = sharded.replicate_state(self.state, self._mesh)
         t0 = time.perf_counter()
-        self.state, aux = sharded.batched_train_step(
-            self.state, batch, self.bg, jnp.asarray(float(lr_step)),
-            float(self.cameras_extent), width=w, height=h,
-            active_sh_degree=self.active_sh_degree, opt=opt, cfg=self.cfg,
-            include_lang_feat=include_lf, max_per_tile=self.max_per_tile)
+        if is2d:
+            from legslam_tpu.parallel import spatial as sp
+            self.state, aux = sp.spatial_batched_train_step(
+                self.state, batch, self.bg, jnp.asarray(float(lr_step)),
+                float(self.cameras_extent), cys, width=w, height=h,
+                h_local=layout.h_local,
+                active_sh_degree=self.active_sh_degree, opt=opt,
+                cfg=self.cfg, include_lang_feat=include_lf,
+                max_per_tile=self.max_per_tile)
+        else:
+            self.state, aux = sharded.batched_train_step(
+                self.state, batch, self.bg, jnp.asarray(float(lr_step)),
+                float(self.cameras_extent), width=w, height=h,
+                active_sh_degree=self.active_sh_degree, opt=opt,
+                cfg=self.cfg, include_lang_feat=include_lf,
+                max_per_tile=self.max_per_tile)
         self._last_aux = aux
         loss = None
         if self.iteration % self.loss_sync_interval == 0:

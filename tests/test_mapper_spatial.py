@@ -88,11 +88,32 @@ def test_spatial_tick_matches_single_step(tmp_path):
                                np.asarray(m2.state.stats.denom), atol=0)
 
 
-def test_spatial_rejects_combined_axes(tmp_path):
-    ds = SyntheticDataset(n_frames=2, width=128, height=64,
-                          n_gaussians=50, seed=0)
-    frontend = TrajectoryFrontend(ds.intrinsics)
-    with pytest.raises(ValueError):
-        GaussianMapper(frontend.queue, ds.intrinsics, cfg=CFG,
-                       capacity=1 << 10, result_dir=str(tmp_path),
-                       n_views=2, spatial_strips=2)
+def test_combined_axes_2d_mesh_tick(tmp_path):
+    """n_views x spatial_strips: the mapper builds a ('data', 'strip')
+    mesh and drains batched+strip ticks through
+    spatial_batched_train_step."""
+    ds = SyntheticDataset(n_frames=12, width=128, height=64,
+                          n_gaussians=400, seed=5, clutter_ratio=0.0)
+    frontend = TrajectoryFrontend(ds.intrinsics, kf_stride=3,
+                                  max_corners=200)
+    mapper = GaussianMapper(
+        frontend.queue, ds.intrinsics, opt=OPT,
+        mp=MapperParams(min_num_initial_map_kfs=3, depth_cache=3),
+        cfg=CFG, capacity=1 << 12, result_dir=str(tmp_path),
+        max_per_tile=512, include_lang_feat=False,
+        n_views=2, spatial_strips=4)
+    assert mapper._mesh is not None
+    assert mapper._mesh.axis_names == ("data", "strip")
+    assert mapper._mesh.devices.shape == (2, 4)
+    for frame in ds:
+        frontend.track(frame)
+    frontend.finish()
+    mapper.drain_operations(limit=64)
+    if not mapper.has_met_initial_conditions():
+        pytest.skip("too few keyframes")
+    mapper.initialize_map()
+    for _ in range(3):
+        mapper.train_iteration()
+    jax.block_until_ready(mapper.state.params.xyz)
+    assert np.isfinite(float(mapper._last_aux.loss))
+    assert int(mapper.state.adam_step) == 3
