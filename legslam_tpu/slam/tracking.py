@@ -1680,10 +1680,15 @@ class TrackingFrontend:
             return
         # world correction W: drifted world -> loop-consistent world, from
         # the current KF's drifted vs corrected pose. Drift accumulated
-        # gradually since the loop anchor, so distribute W along the KF
-        # chain anchor->current with fractional screw interpolation — the
-        # lightweight stand-in for the reference's essential-graph
-        # optimization (Optimizer.cc OptimizeEssentialGraph).
+        # gradually since the loop anchor: distribute W along the KF chain
+        # anchor->current with fractional screw interpolation as the
+        # initial guess, then run the SE(3) pose-graph optimization
+        # (slam/pose_graph.py) over the chain — the counterpart of the
+        # reference's essential-graph optimization after loop verification
+        # (Optimizer.cc OptimizeEssentialGraph via LoopClosing.cc):
+        # odometry edges keep consecutive relative poses, a heavily
+        # weighted loop edge ties the current KF to its Kabsch-verified
+        # pose in the anchor's frame.
         T_drift = np.eye(4, dtype=np.float32)
         T_drift[:3, :3], T_drift[:3, 3] = kf.R, kf.t
         T_corr = np.eye(4, dtype=np.float32)
@@ -1694,15 +1699,29 @@ class TrackingFrontend:
         if not chain:
             return
         chain_set = set(chain)
-        for j, f in enumerate(chain):
-            s = (j + 1) / len(chain)
-            W_s = _fractional_rigid(W, s)
+        from legslam_tpu.slam import pose_graph as PG
+        full = [best_fid] + chain               # anchor first, held fixed
+        Tcw = []
+        for f in full:
             k = self.keyframes[f]
             Tk = np.eye(4, dtype=np.float32)
             Tk[:3, :3], Tk[:3, 3] = k.R, k.t
-            Tk = Tk @ np.linalg.inv(W_s)
-            k.R, k.t = Tk[:3, :3].astype(np.float32), \
-                Tk[:3, 3].astype(np.float32)
+            Tcw.append(Tk)
+        P = np.stack([np.linalg.inv(Tk) for Tk in Tcw])   # Twc
+        odo = PG.chain_constraints(P, weight=1.0)         # pre-correction
+        loop_edge = (0, len(full) - 1,
+                     np.linalg.inv(np.asarray(P[0], np.float64)) @
+                     np.linalg.inv(np.asarray(T_corr, np.float64)), 100.0)
+        for j, f in enumerate(chain):                     # screw init
+            s = (j + 1) / len(chain)
+            W_s = _fractional_rigid(W, s)
+            P[j + 1] = np.linalg.inv(Tcw[j + 1] @ np.linalg.inv(W_s))
+        P = PG.optimize_pose_graph(P, odo + [loop_edge], fixed={0})
+        for j, f in enumerate(chain):
+            Tk = np.linalg.inv(P[j + 1]).astype(np.float32)
+            k = self.keyframes[f]
+            k.R, k.t = np.ascontiguousarray(Tk[:3, :3]), \
+                np.ascontiguousarray(Tk[:3, 3])
         # re-triangulate landmarks touched by the chain from their
         # corrected observers (one landmark sweep of the BA alternation)
         for lm in self.landmarks.values():

@@ -1,0 +1,73 @@
+"""SE(3) pose-graph optimization (slam/pose_graph.py): exp/log round
+trips, and the loop-closure use case — accumulated odometry drift pulled
+back by a strong loop edge (the essential-graph equivalent,
+Optimizer.cc OptimizeEssentialGraph)."""
+import numpy as np
+import pytest
+
+from legslam_tpu.slam import pose_graph as PG
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+
+def test_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        xi = rng.normal(0, 1.0, 6)
+        T = PG.se3_exp(xi)
+        np.testing.assert_allclose(PG.se3_log(T), xi, atol=1e-8)
+    # small-angle branch
+    xi = np.array([1e-12, 0, 0, 0.3, -0.2, 0.1])
+    np.testing.assert_allclose(PG.se3_log(PG.se3_exp(xi)), xi, atol=1e-9)
+
+
+def _circle_poses(K, radius=2.0):
+    out = []
+    for k in range(K):
+        a = 2.0 * np.pi * k / K
+        T = np.eye(4)
+        T[:3, :3] = _rot_z(a)
+        T[:3, 3] = [radius * np.cos(a), radius * np.sin(a), 0.0]
+        out.append(T)
+    return np.stack(out)
+
+
+def test_loop_edge_pulls_back_drift():
+    """Odometry edges from drifted poses + one strong loop edge: the
+    optimized trajectory lands much closer to GT than the drifted one."""
+    K = 24
+    gt = _circle_poses(K)
+    # accumulate a per-step drift twist
+    drift = PG.se3_exp(np.array([0.0, 0.0, 0.02, 0.015, -0.01, 0.0]))
+    poses = [gt[0]]
+    for k in range(1, K):
+        M = np.linalg.inv(gt[k - 1]) @ gt[k]
+        poses.append(poses[-1] @ M @ drift)
+    poses = np.stack(poses)
+    err_before = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+
+    cons = PG.chain_constraints(poses)  # believes the drifted odometry
+    # exact loop edge from the anchor to the final pose
+    M_loop = np.linalg.inv(gt[0]) @ gt[-1]
+    cons.append((0, K - 1, M_loop, 100.0))
+    opt = PG.optimize_pose_graph(poses, cons, fixed={0})
+
+    err_after = np.linalg.norm(opt[:, :3, 3] - gt[:, :3, 3], axis=1)
+    # the endpoint satisfies the loop edge almost exactly
+    assert err_after[-1] < 0.05, err_after[-1]
+    # and the whole chain improves substantially
+    assert err_after.mean() < 0.5 * err_before.mean(), (
+        err_after.mean(), err_before.mean())
+    # anchor untouched
+    np.testing.assert_allclose(opt[0], gt[0], atol=1e-12)
+
+
+def test_consistent_graph_is_fixed_point():
+    """With self-consistent constraints the solution doesn't move."""
+    gt = _circle_poses(10)
+    cons = PG.chain_constraints(gt)
+    opt = PG.optimize_pose_graph(gt, cons, fixed={0})
+    np.testing.assert_allclose(opt, gt.astype(np.float32), atol=1e-6)
