@@ -1293,7 +1293,7 @@ class TrackingFrontend:
             # of the reference's IMU-init ScaleRefinement push,
             # LocalMapping.cc:1300-1304)
             self._mono_scale_update(frame)
-        if self.enable_loop_closing and self.sensor != "mono":
+        if self.enable_loop_closing:
             self._try_loop_close(kf)
         self._cull_keyframes()
         return packets[0]
@@ -1662,22 +1662,34 @@ class TrackingFrontend:
         if best_fid is None:
             return
         old = self.keyframes[best_fid]
-        # geometric verification: track old-KF corners into this frame
-        pts = detect_corners(old.gray, 300)
-        cur_px, ok = klt_track(old.gray, kf.gray, pts)
-        if ok.sum() < self.min_inliers:
-            return
-        cam_old, ok_o = self._lift(pts[ok], old.depth)
-        cam_new, ok_n = self._lift(cur_px[ok], kf.depth)
-        use = ok_o & ok_n
-        if use.sum() < self.min_inliers:
-            return
-        world_old = self._to_world(cam_old[use], old.R, old.t)
-        R, t, inl = ransac_rigid(world_old, cam_new[use], self._rng,
-                                 thresh=self.ransac_thresh,
-                                 min_inliers=self.min_inliers)
-        if R is None or inl.sum() < 2 * self.min_inliers:
-            return
+        if self.sensor == "mono":
+            # monocular verification has no depth to lift: track the
+            # anchor's landmark pixels into this frame and PnP against
+            # their anchor-era world points (3D-2D, like relocalization;
+            # the reference solves mono loops with Sim3 on matched map
+            # points, LoopClosing.cc ComputeSim3 — scale drift here is
+            # left to the depth-borrow ScaleRefinement path)
+            pose = self._loop_verify_mono(old, kf)
+            if pose is None:
+                return
+            R, t = pose
+        else:
+            # geometric verification: track old-KF corners into this frame
+            pts = detect_corners(old.gray, 300)
+            cur_px, ok = klt_track(old.gray, kf.gray, pts)
+            if ok.sum() < self.min_inliers:
+                return
+            cam_old, ok_o = self._lift(pts[ok], old.depth)
+            cam_new, ok_n = self._lift(cur_px[ok], kf.depth)
+            use = ok_o & ok_n
+            if use.sum() < self.min_inliers:
+                return
+            world_old = self._to_world(cam_old[use], old.R, old.t)
+            R, t, inl = ransac_rigid(world_old, cam_new[use], self._rng,
+                                     thresh=self.ransac_thresh,
+                                     min_inliers=self.min_inliers)
+            if R is None or inl.sum() < 2 * self.min_inliers:
+                return
         # world correction W: drifted world -> loop-consistent world, from
         # the current KF's drifted vs corrected pose. Drift accumulated
         # gradually since the loop anchor: distribute W along the KF chain
@@ -1741,6 +1753,38 @@ class TrackingFrontend:
         self.queue.push(MappingOperation(
             kind=OpKind.LOOP_CLOSE_BA, keyframes=packets))
         self.n_loop_closures += 1
+
+    def _loop_verify_mono(self, old: _KF, kf: _KF
+                          ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+        """Mono loop verification: KLT the anchor keyframe's landmark
+        pixels into the current frame, PnP against their (anchor-era,
+        loop-consistent) world points. Returns the corrected current
+        (R, t) or None. Does not touch live track state."""
+        px_old, world = [], []
+        for lm in self.landmarks.values():
+            if lm.world is not None and old.fid in lm.obs2d:
+                px_old.append(lm.obs2d[old.fid])
+                world.append(lm.world)
+        if len(px_old) < 2 * self.min_inliers:
+            return None
+        px_old = self._denormalize(np.asarray(px_old, np.float32))
+        world = np.asarray(world, np.float32)
+        cur_px, ok = klt_track_fb(old.gray, kf.gray, px_old)
+        if ok.sum() < self.min_inliers:
+            return None
+        xn = self._normalize(cur_px[ok])
+        # init at the ANCHOR pose (the camera is physically near it at
+        # loop time; the drifted current pose may be a wrong GN basin).
+        # Looser huber/inlier gates than frame-to-frame PnP: loop-scale
+        # KLT carries a few px of localization noise on top of the
+        # landmarks' triangulation noise — the pose-graph + local BA
+        # refine whatever this accepts.
+        R, t, inl = pnp_gn(world[ok], xn, old.R, old.t,
+                           huber=2e-2, inlier_th=4e-2)
+        if R is None or inl.sum() < self.min_inliers or \
+                inl.sum() < 0.5 * int(ok.sum()):
+            return None
+        return R, t
 
     # -- trajectory / lifecycle -----------------------------------------
     def trajectory(self) -> tuple[np.ndarray, np.ndarray]:

@@ -177,3 +177,32 @@ def test_mono_packets_feed_mapper_contract(mono_seq):
     z = last.kp_points_local[:, 2]
     assert (z > 0).sum() >= 10          # triangulated landmarks exported
     assert (z == -1).sum() >= 1         # pending tracks marked
+
+
+@pytest.mark.slow
+def test_mono_loop_closure_fires_and_bounds_drift():
+    """Monocular loop closing (PnP against the anchor's landmark worlds +
+    SE(3) pose-graph correction): a full revolution closes at least one
+    loop and the up-to-scale ATE does not regress vs loops-off."""
+    # 4.5 deg/frame: monocular triangulation needs more baseline per KF
+    # than RGB-D (the rgbd loop test runs 9 deg/frame)
+    ds = SyntheticDataset(n_frames=80, width=320, height=192,
+                          n_gaussians=9000, revolutions=1.0, radius=1.0,
+                          clutter_ratio=0.0)
+    frames = [ds.read(i) for i in range(len(ds))]
+    ates = {}
+    loops_fired = 0
+    for loops in (False, True):
+        fe = T.TrackingFrontend(ds.intrinsics, sensor="mono",
+                                loop_min_gap=8, enable_loop_closing=loops)
+        for fr in frames:
+            fe.track(dataclasses.replace(fr, c2w=None, depth=None))
+        fids, traj = fe.trajectory()
+        gt = np.stack([frames[int(i)].c2w for i in fids])
+        ates[loops] = ate_rmse(traj[:, :3, 3], gt[:, :3, 3])["rmse"]
+        if loops:
+            loops_fired = fe.n_loop_closures
+    assert loops_fired >= 1
+    # the loop-corrected trajectory is at least as good (strictly better
+    # when drift accumulated; equal-ish when mono drift was already tiny)
+    assert ates[True] <= ates[False] * 1.05, ates
