@@ -679,6 +679,7 @@ class TrackingFrontend:
         self.mono_scale = 1.0
         self._lost_streak = 0
         self.n_relocalizations = 0
+        self.n_map_resets = 0
         # inertial state (slam/imu.py; Tracking::PredictStateIMU +
         # LocalMapping::InitializeIMU counterparts)
         self.use_imu = use_imu
@@ -954,6 +955,22 @@ class TrackingFrontend:
                   and len(detect_corners(gray, 50)) >= self.min_inliers):
                 self._lost_streak = 0
                 packet = self._make_keyframe(frame, gray, lf_image)
+            elif (self._lost_streak >= self.reanchor_after
+                  and self.sensor == "mono"):
+                # a fresh mono keyframe can't re-anchor (no depth to seed
+                # 3D landmarks) — re-run two-view initialization from the
+                # constant-pose/IMU guess instead, starting a new map
+                # segment while the old keyframes stay frozen for
+                # trajectory and loop closing (Atlas::CreateMapInAtlas,
+                # Tracking.cc mState==LOST "Starting a new map" branch;
+                # like the reference's new Atlas map, the segment carries
+                # its own scale gauge until a loop/scale op reconciles it)
+                self._lost_streak = 0
+                self.initialized = False
+                self._mono_ref = None
+                self._track_lm = np.zeros((0,), np.int64)
+                self._track_px = np.zeros((0, 2), np.float32)
+                self.n_map_resets += 1
         self._capture_vis(gray)
         self._prev_gray = gray
         return packet

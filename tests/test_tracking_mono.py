@@ -206,3 +206,27 @@ def test_mono_loop_closure_fires_and_bounds_drift():
     # the loop-corrected trajectory is at least as good (strictly better
     # when drift accumulated; equal-ish when mono drift was already tiny)
     assert ates[True] <= ates[False] * 1.05, ates
+
+
+@pytest.mark.slow
+def test_mono_map_reset_recovers_from_aggressive_motion():
+    """At 9 deg/frame mono triangulation starves and tracking is lost
+    mid-sequence; the Atlas-style new-map re-initialization must kick in
+    and keyframe creation must resume (no permanent-lost tail)."""
+    ds = SyntheticDataset(n_frames=40, width=320, height=192,
+                          n_gaussians=9000, revolutions=1.0, radius=1.0,
+                          clutter_ratio=0.0)
+    frames = [ds.read(i) for i in range(len(ds))]
+    fe = T.TrackingFrontend(ds.intrinsics, sensor="mono",
+                            enable_loop_closing=False)
+    created_at = []
+    for fr in frames:
+        before = fe.n_keyframes_created
+        fe.track(dataclasses.replace(fr, c2w=None, depth=None))
+        if fe.n_keyframes_created > before:
+            created_at.append(fr.index)
+    assert fe.n_map_resets >= 1
+    # keyframes keep being created in the second half of the sequence
+    assert any(i >= len(frames) * 3 // 4 for i in created_at), created_at
+    fids, traj = fe.trajectory()
+    assert np.isfinite(traj).all() and len(fids) == len(frames)
