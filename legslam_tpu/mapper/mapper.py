@@ -148,11 +148,20 @@ class GaussianMapper:
         self.spatial_strips = spatial_strips
         self._mesh = mesh
         if mesh is None and n_views > 1 and spatial_strips > 1:
-            # combined ('data', 'strip') 2D mesh when enough devices exist;
-            # otherwise the vmap composition still runs on fewer devices
+            # combined ('data', 'strip') 2D mesh when enough devices
+            # exist; with fewer devices fall back to a data-parallel mesh
+            # over the views (the strip axis then runs as a vmap within
+            # each device) rather than silently losing all parallelism
             from legslam_tpu.parallel import spatial as sp
             if len(jax.devices()) >= n_views * spatial_strips:
                 self._mesh = sp.make_mesh2d(n_views, spatial_strips)
+            else:
+                from legslam_tpu.parallel import sharded
+                nd = min(len(jax.devices()), n_views)
+                while n_views % nd:
+                    nd -= 1
+                if nd > 1:
+                    self._mesh = sharded.make_mesh(nd)
         elif mesh is None and (n_views > 1 or spatial_strips > 1):
             from legslam_tpu.parallel import sharded
             nd = len(jax.devices())
@@ -457,29 +466,38 @@ class GaussianMapper:
     def _invalidate_binning(self) -> None:
         self._binning_cache.clear()
 
+    def _cached(self, key, compute, uses: Optional[int] = None):
+        """Refresh-counted LRU entry in the binning cache: reuse `uses`
+        times (default binning_refresh_interval) before recomputing."""
+        entry = self._binning_cache.pop(key, None)
+        if entry is not None and entry[0] > 0:
+            uses_left, value = entry
+            self._binning_cache[key] = (uses_left - 1, value)
+            return value
+        value = compute()
+        n = self.binning_refresh_interval if uses is None else uses
+        self._binning_cache[key] = (n - 1, value)
+        while len(self._binning_cache) > self.binning_cache_entries:
+            self._binning_cache.pop(next(iter(self._binning_cache)))
+        return value
+
     def _get_binning(self, kf: MapKeyframe, lvl: int, view) -> Optional[tuple]:
         """Cached (binning, overflow) for (kf, level), refreshed every
         `binning_refresh_interval` uses; None when caching is off."""
         if self.binning_refresh_interval <= 1:
             return None
-        key = (kf.fid, lvl)
-        entry = self._binning_cache.pop(key, None)
-        if entry is not None and entry[0] > 0:
-            uses_left, binning = entry
-            self._binning_cache[key] = (uses_left - 1, binning)
-            return binning
-        st = self.state
-        binning = _binning_jit(
-            st.params.xyz, jnp.exp(st.params.scaling), st.params.rotation,
-            st.valid, view.world_view, view.full_proj, view.tan_fovx,
-            view.tan_fovy, width=view.width, height=view.height,
-            cfg=self.cfg, max_per_tile=self.max_per_tile,
-            opacity=jax.nn.sigmoid(st.params.opacity[:, 0]))
-        self._binning_cache[key] = (self.binning_refresh_interval - 1,
-                                    binning)
-        while len(self._binning_cache) > self.binning_cache_entries:
-            self._binning_cache.pop(next(iter(self._binning_cache)))
-        return binning
+
+        def compute():
+            st = self.state
+            return _binning_jit(
+                st.params.xyz, jnp.exp(st.params.scaling),
+                st.params.rotation, st.valid, view.world_view,
+                view.full_proj, view.tan_fovx, view.tan_fovy,
+                width=view.width, height=view.height, cfg=self.cfg,
+                max_per_tile=self.max_per_tile,
+                opacity=jax.nn.sigmoid(st.params.opacity[:, 0]))
+
+        return self._cached((kf.fid, lvl), compute)
 
     def _spatial_step(self, kf, lvl: int, view, gt_color, gt_lf, gt_depth,
                       mask, include_lf: bool, lr_step: int):
@@ -490,16 +508,26 @@ class GaussianMapper:
                                         self.spatial_strips)
         mesh = self._mesh if self._mesh is not None and \
             self._mesh.devices.size > 1 else None
-        cys = spatial.strip_offsets(layout, mesh)
-        if include_lf:
-            gt_lf = spatial.pad_rows(gt_lf, layout.h_padded)
-        else:
-            gt_lf = jnp.zeros((layout.h_padded, view.width, 1), jnp.float32)
-        pads = [spatial.pad_rows(a, layout.h_padded)
-                for a in (gt_color, gt_depth, mask)]
+        # the padded + row-sharded GT is a pure function of (kf, level):
+        # cache it so the latency-critical single-keyframe step doesn't
+        # re-pad and re-device_put ~4 image tensors every iteration
+        def compute_gt():
+            cys = spatial.strip_offsets(layout, mesh)
+            if include_lf:
+                lf = spatial.pad_rows(gt_lf, layout.h_padded)
+            else:
+                lf = jnp.zeros((layout.h_padded, view.width, 1),
+                               jnp.float32)
+            pads = [spatial.pad_rows(a, layout.h_padded)
+                    for a in (gt_color, gt_depth, mask)]
+            if mesh is not None:
+                pads = spatial.shard_rows(pads, mesh)
+                lf = spatial.shard_rows(lf, mesh)
+            return cys, lf, pads
+
+        cys, gt_lf, pads = self._cached(
+            (kf.fid, lvl, "spatial_gt"), compute_gt, uses=1 << 30)
         if mesh is not None:
-            pads = spatial.shard_rows(pads, mesh)
-            gt_lf = spatial.shard_rows(gt_lf, mesh)
             self.state = sharded.replicate_state(self.state, mesh)
         binning = self._get_binning_spatial(kf, lvl, view, layout, cys)
         return spatial.spatial_train_step(
@@ -519,25 +547,19 @@ class GaussianMapper:
         if self.binning_refresh_interval <= 1:
             return None
         from legslam_tpu.parallel import spatial
-        key = (kf.fid, lvl, "spatial")
-        entry = self._binning_cache.pop(key, None)
-        if entry is not None and entry[0] > 0:
-            uses_left, binning = entry
-            self._binning_cache[key] = (uses_left - 1, binning)
-            return binning
-        st = self.state
-        binning = spatial.spatial_compute_binning(
-            st.params.xyz, jnp.exp(st.params.scaling), st.params.rotation,
-            st.valid, view.world_view, view.full_proj, view.tan_fovx,
-            view.tan_fovy, cys, width=view.width, height=view.height,
-            h_local=layout.h_local, cfg=self.cfg,
-            max_per_tile=self.max_per_tile,
-            opacity=jax.nn.sigmoid(st.params.opacity[:, 0]))
-        self._binning_cache[key] = (self.binning_refresh_interval - 1,
-                                    binning)
-        while len(self._binning_cache) > self.binning_cache_entries:
-            self._binning_cache.pop(next(iter(self._binning_cache)))
-        return binning
+
+        def compute():
+            st = self.state
+            return spatial.spatial_compute_binning(
+                st.params.xyz, jnp.exp(st.params.scaling),
+                st.params.rotation, st.valid, view.world_view,
+                view.full_proj, view.tan_fovx, view.tan_fovy, cys,
+                width=view.width, height=view.height,
+                h_local=layout.h_local, cfg=self.cfg,
+                max_per_tile=self.max_per_tile,
+                opacity=jax.nn.sigmoid(st.params.opacity[:, 0]))
+
+        return self._cached((kf.fid, lvl, "spatial"), compute)
 
     def train_iteration(self) -> Optional[float]:
         """One trainForOneIteration (gaussian_mapper.cpp:624-798)."""

@@ -133,6 +133,19 @@ def _composite_tiles(binning: Binning, mean2d: jnp.ndarray,
     return img, tf
 
 
+def _apply_crop(pre: Preprocessed, crop_y, crop_h: int | None,
+                height: int):
+    """Shift screen-space means down to a pixel-row strip's local frame
+    and return the strip height. One shared definition: the cached
+    spatial binning (compute_binning) and the in-step fresh binning
+    (render_arrays) must agree on the shift convention exactly."""
+    if crop_y is None:
+        return pre, height
+    shift = jnp.stack([jnp.zeros_like(jnp.float32(crop_y)),
+                       jnp.float32(crop_y)])
+    return pre._replace(mean2d=pre.mean2d - shift[None, :]), crop_h
+
+
 def make_binning(pre: Preprocessed, width: int, height: int,
                  cfg: RasterizeConfig, max_per_tile: int,
                  opacity: jnp.ndarray | None = None):
@@ -185,11 +198,7 @@ def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
         means3d, scales, normalize_quat(quats), valid, world_view,
         full_proj, width, height, focal_x, focal_y, tan_fovx, tan_fovy,
         scale_modifier)
-    if crop_y is not None:
-        shift = jnp.stack([jnp.zeros_like(jnp.float32(crop_y)),
-                           jnp.float32(crop_y)])
-        pre = pre._replace(mean2d=pre.mean2d - shift[None, :])
-        height = crop_h
+    pre, height = _apply_crop(pre, crop_y, crop_h, height)
     return make_binning(pre, width, height, cfg, max_per_tile,
                         opacity=opacity)
 
@@ -231,11 +240,7 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
         width, height, focal_x, focal_y, tan_fovx, tan_fovy, scale_modifier)
     if mean2d_offset is not None:
         pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
-    if crop_y is not None:
-        shift = jnp.stack([jnp.zeros_like(jnp.float32(crop_y)),
-                           jnp.float32(crop_y)])
-        pre = pre._replace(mean2d=pre.mean2d - shift[None, :])
-    height = height if crop_h is None else crop_h
+    pre, height = _apply_crop(pre, crop_y, crop_h, height)
 
     if colors_precomp is not None:
         rgb = colors_precomp

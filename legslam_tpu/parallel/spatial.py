@@ -104,6 +104,57 @@ def spatial_compute_binning(means3d, scales, quats, valid, world_view,
     return jax.vmap(one)(crop_ys)
 
 
+def _strip_view_loss(params7, valid, world_view, full_proj, cam_center,
+                     tan_fovx, tan_fovy, gt_color_pad, gt_lang_feat_pad,
+                     gt_depth_pad, mask_pad, bg, crop_ys, mean2d_offset,
+                     binning, *, width: int, height: int, h_local: int,
+                     active_sh_degree: int, lam: float,
+                     cfg: RasterizeConfig, include_lang_feat: bool,
+                     max_per_tile: int):
+    """ONE view's strip-decomposed render + mapping loss — the single
+    definition both spatial steps share. Returns
+    (loss, color_pad, depth_pad, radii [S, P], num_rendered, overflow).
+
+    Loss decomposition (== ops/losses.mapping_loss on the full image,
+    gaussian_mapper.cpp:711-721 — the mask multiplies ONLY the rendered
+    side): L1+DSSIM on the reassembled color, pointwise LF-cos/depth
+    terms on the padded rows rescaled by H_pad/H (zero pad rows
+    contribute exactly zero)."""
+    xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation = params7
+    sh = jnp.concatenate([f_dc, f_rest], axis=1)
+    H_pad = gt_color_pad.shape[0]
+    rescale = H_pad / float(height)
+
+    def strip(cy, b):
+        out = render_arrays(
+            xyz, sh, lang_feat, jax.nn.sigmoid(opacity[:, 0]),
+            jnp.exp(scaling), rotation, valid, world_view, full_proj,
+            cam_center, tan_fovx, tan_fovy, width, height, bg,
+            active_sh_degree, cfg, include_lang_feat=include_lang_feat,
+            mean2d_offset=mean2d_offset, max_per_tile=max_per_tile,
+            binning=b, crop_y=cy, crop_h=h_local)
+        lf = out.lang_feat if include_lang_feat else \
+            jnp.zeros(out.color.shape[:2] + (0,), out.color.dtype)
+        return (out.color, lf, out.depth, out.radii, out.num_rendered,
+                out.overflow_pairs)
+
+    outs = jax.vmap(strip, in_axes=(0, 0 if binning is not None
+                                    else None))(crop_ys, binning)
+    color = outs[0].reshape(H_pad, width, 3)
+    depth = outs[2].reshape(H_pad, width)
+    m3 = mask_pad[..., None]
+    pc_full = (color * m3)[:height]
+    loss = (1.0 - lam) * losses.l1_loss(pc_full, gt_color_pad[:height]) \
+        + lam * (1.0 - losses.ssim(pc_full, gt_color_pad[:height]))
+    if include_lang_feat:
+        lf_img = outs[1].reshape(H_pad, width, -1)
+        loss = loss + rescale * losses.lf_cosine_similarity(
+            lf_img * m3, gt_lang_feat_pad)
+    loss = loss + rescale * losses.l1_loss(depth * mask_pad, gt_depth_pad)
+    return (loss, color, depth, outs[3], jnp.sum(outs[4]),
+            jnp.sum(outs[5]))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "active_sh_degree", "opt", "cfg",
@@ -134,46 +185,21 @@ def spatial_train_step(state: G.GaussianState,
     # one shared offset, like the single-view step: strip mean2d grads sum
     # into the exact single-view screen-space grad (strips partition pixels)
     offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
-    lam = opt.lambda_dssim
-    rescale = H_pad / float(height)  # zero-pad-row mean correction
 
     def loss_fn(xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation,
                 mean2d_offset):
-        sh = jnp.concatenate([f_dc, f_rest], axis=1)
-
-        def strip(cy, b):
-            out = render_arrays(
-                xyz, sh, lang_feat, jax.nn.sigmoid(opacity[:, 0]),
-                jnp.exp(scaling), rotation, state.valid, world_view,
-                full_proj, cam_center, tan_fovx, tan_fovy, width, height,
-                bg, active_sh_degree, cfg,
+        loss, color, depth, radii_s, num_rendered, overflow = \
+            _strip_view_loss(
+                (xyz, f_dc, f_rest, lang_feat, opacity, scaling,
+                 rotation), state.valid, world_view, full_proj,
+                cam_center, tan_fovx, tan_fovy, gt_color_pad,
+                gt_lang_feat_pad, gt_depth_pad, mask_pad, bg, crop_ys,
+                mean2d_offset, binning, width=width, height=height,
+                h_local=h_local, active_sh_degree=active_sh_degree,
+                lam=opt.lambda_dssim, cfg=cfg,
                 include_lang_feat=include_lang_feat,
-                mean2d_offset=mean2d_offset, max_per_tile=max_per_tile,
-                binning=b, crop_y=cy, crop_h=h_local)
-            lf = out.lang_feat if include_lang_feat else \
-                jnp.zeros(out.color.shape[:2] + (0,), out.color.dtype)
-            return (out.color, lf, out.depth, out.radii, out.num_rendered,
-                    out.overflow_pairs)
-
-        outs = jax.vmap(strip, in_axes=(0, 0 if binning is not None
-                                        else None))(crop_ys, binning)
-        color = outs[0].reshape(H_pad, width, 3)
-        depth = outs[2].reshape(H_pad, width)
-
-        # mapping_loss decomposition (gaussian_mapper.cpp:711-721 /
-        # ops/losses.mapping_loss: mask multiplies ONLY the rendered side)
-        m3 = mask_pad[..., None]
-        pc_full = (color * m3)[:height]
-        loss = (1.0 - lam) * losses.l1_loss(pc_full, gt_color_pad[:height]) \
-            + lam * (1.0 - losses.ssim(pc_full, gt_color_pad[:height]))
-        if include_lang_feat:
-            lf_img = outs[1].reshape(H_pad, width, -1)
-            loss = loss + rescale * losses.lf_cosine_similarity(
-                lf_img * m3, gt_lang_feat_pad)
-        loss = loss + rescale * losses.l1_loss(depth * mask_pad,
-                                               gt_depth_pad)
-        return loss, (color, depth, outs[3], jnp.sum(outs[4]),
-                      jnp.sum(outs[5]))
+                max_per_tile=max_per_tile)
+        return loss, (color, depth, radii_s, num_rendered, overflow)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=tuple(range(8)),
                                  has_aux=True)
@@ -259,43 +285,19 @@ def spatial_batched_train_step(state: G.GaussianState, batch,
     p = state.params
     B, H_pad = batch.gt_color.shape[:2]
     lam = opt.lambda_dssim
-    rescale = H_pad / float(height)
     offset0 = jnp.zeros((B, state.capacity, 2), jnp.float32)
 
     def view_loss(params_tuple, one, off):
-        xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation = \
-            params_tuple
-        sh = jnp.concatenate([f_dc, f_rest], axis=1)
-
-        def strip(cy):
-            out = render_arrays(
-                xyz, sh, lang_feat, jax.nn.sigmoid(opacity[:, 0]),
-                jnp.exp(scaling), rotation, state.valid, one.world_view,
-                one.full_proj, one.cam_center, one.tan_fovx, one.tan_fovy,
-                width, height, bg, active_sh_degree, cfg,
-                include_lang_feat=include_lang_feat, mean2d_offset=off,
-                max_per_tile=max_per_tile, crop_y=cy, crop_h=h_local)
-            lf = out.lang_feat if include_lang_feat else \
-                jnp.zeros(out.color.shape[:2] + (0,), out.color.dtype)
-            return (out.color, lf, out.depth, out.radii,
-                    out.overflow_pairs)
-
-        outs = jax.vmap(strip)(crop_ys)
-        color = outs[0].reshape(H_pad, width, 3)
-        depth = outs[2].reshape(H_pad, width)
-        m3 = one.mask[..., None]
-        pc_full = (color * m3)[:height]
-        loss = (1.0 - lam) * losses.l1_loss(pc_full,
-                                            one.gt_color[:height]) \
-            + lam * (1.0 - losses.ssim(pc_full, one.gt_color[:height]))
-        if include_lang_feat:
-            lf_img = outs[1].reshape(H_pad, width, -1)
-            loss = loss + rescale * losses.lf_cosine_similarity(
-                lf_img * m3, one.gt_lang_feat)
-        loss = loss + rescale * losses.l1_loss(depth * one.mask,
-                                               one.gt_depth)
+        loss, color, depth, radii_s, _, overflow = _strip_view_loss(
+            params_tuple, state.valid, one.world_view, one.full_proj,
+            one.cam_center, one.tan_fovx, one.tan_fovy, one.gt_color,
+            one.gt_lang_feat, one.gt_depth, one.mask, bg, crop_ys, off,
+            None, width=width, height=height, h_local=h_local,
+            active_sh_degree=active_sh_degree, lam=lam, cfg=cfg,
+            include_lang_feat=include_lang_feat,
+            max_per_tile=max_per_tile)
         return loss, (color[:height], depth[:height],
-                      jnp.max(outs[3], axis=0), jnp.sum(outs[4]))
+                      jnp.max(radii_s, axis=0), overflow)
 
     def total_loss(xyz, f_dc, f_rest, lang_feat, opacity, scaling,
                    rotation, off):

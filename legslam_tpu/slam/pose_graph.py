@@ -50,7 +50,8 @@ def se3_exp(xi: np.ndarray) -> np.ndarray:
 
 
 def se3_log(T: np.ndarray) -> np.ndarray:
-    """4x4 -> (omega, v)."""
+    """4x4 -> (omega, v). Safe across the whole rotation range including
+    theta ~ pi (where the sin-based axis extraction degenerates)."""
     R = np.asarray(T[:3, :3], np.float64)
     t = np.asarray(T[:3, 3], np.float64)
     c = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
@@ -59,15 +60,47 @@ def se3_log(T: np.ndarray) -> np.ndarray:
         w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
                       R[1, 0] - R[0, 1]]) * 0.5
         Vinv = np.eye(3) - 0.5 * _hat(w)
+        return np.concatenate([w, Vinv @ t])
+    if th > np.pi - 1e-4:
+        # near pi: (R + I)/2 ~ a a^T + cos-term; take the axis from the
+        # largest diagonal of (M - c I)/(1 - c), sign from the skew part
+        # R_sym = c I + (1-c) a a^T  =>  a a^T = (M - c I)/(1 - c)
+        M = 0.5 * (R + R.T)
+        aa = np.clip(np.diag(M) - c, 0.0, None) / (1.0 - c)
+        k = int(np.argmax(aa))
+        a = np.empty(3)
+        a[k] = np.sqrt(max(aa[k], 1e-16))
+        for m in range(3):
+            if m != k:
+                a[m] = M[k, m] / ((1.0 - c) * a[k])
+        a /= max(np.linalg.norm(a), 1e-12)
+        skew = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]])
+        if float(skew @ a) < 0.0:
+            a = -a
+        w = th * a
     else:
         w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
                       R[1, 0] - R[0, 1]]) * (th / (2.0 * np.sin(th)))
-        W = _hat(w)
-        # V^-1 = I - W/2 + (1/th^2 - (1+cos th)/(2 th sin th)) W^2
-        coef = 1.0 / (th * th) - (1.0 + np.cos(th)) / \
-            (2.0 * th * np.sin(th))
-        Vinv = np.eye(3) - 0.5 * W + coef * (W @ W)
+    W = _hat(w)
+    # V^-1 = I - W/2 + (1 - A/(2B)) / th^2 * W^2 with A = sin(th)/th,
+    # B = (1-cos th)/th^2 — finite at th = pi (limit 1/pi^2)
+    A = np.sin(th) / th
+    B = (1.0 - np.cos(th)) / (th * th)
+    coef = (1.0 - A / (2.0 * B)) / (th * th)
+    Vinv = np.eye(3) - 0.5 * W + coef * (W @ W)
     return np.concatenate([w, Vinv @ t])
+
+
+def _adjoint(T: np.ndarray) -> np.ndarray:
+    """6x6 SE(3) adjoint for the (omega, v) twist ordering."""
+    R = np.asarray(T[:3, :3], np.float64)
+    t = np.asarray(T[:3, 3], np.float64)
+    A = np.zeros((6, 6))
+    A[:3, :3] = R
+    A[3:, 3:] = R
+    A[3:, :3] = _hat(t) @ R
+    return A
 
 
 def _residual(Pi: np.ndarray, Pj: np.ndarray, Minv: np.ndarray
@@ -79,50 +112,44 @@ def optimize_pose_graph(poses: np.ndarray,
                         constraints: list,
                         fixed: set | frozenset = frozenset({0}),
                         iters: int = 8,
-                        damping: float = 1e-8,
-                        eps: float = 1e-5) -> np.ndarray:
+                        damping: float = 1e-8) -> np.ndarray:
     """Gauss-Newton over SE(3) poses.
 
     poses: [K, 4, 4] camera-to-world initial estimates.
     constraints: list of (i, j, M [4,4], weight) with M ~ P_i^-1 P_j.
     fixed: pose indices held constant (gauge anchor).
-    Returns optimized [K, 4, 4].
+    Returns optimized [K, 4, 4]; falls back to the inputs if the solve
+    goes non-finite (degenerate graph / near-pi pathologies).
+
+    Jacobians use the standard small-residual right-perturbation
+    linearization (Jr^{-1}(r) ~ I): d r / d delta_j = I,
+    d r / d delta_i = -Ad(P_j^-1 P_i) — the g2o-style approximation,
+    exact in the limit of converged residuals.
     """
-    P = [np.asarray(p, np.float64).copy() for p in poses]
+    P0 = np.stack([np.asarray(p, np.float64) for p in poses])
+    P = [p.copy() for p in P0]
     K = len(P)
     free = [k for k in range(K) if k not in fixed]
     col = {k: 6 * n for n, k in enumerate(free)}
     n_var = 6 * len(free)
     if n_var == 0 or not constraints:
-        return np.stack(P).astype(np.float32)
+        return P0.astype(np.float32)
     Minvs = [np.linalg.inv(np.asarray(M, np.float64))
              for (_, _, M, _) in constraints]
+    I6 = np.eye(6)
 
     for _ in range(iters):
         H = np.zeros((n_var, n_var))
         b = np.zeros(n_var)
-        cost = 0.0
         for (ci, (i, j, _, w)) in enumerate(constraints):
-            Minv = Minvs[ci]
-            r = _residual(P[i], P[j], Minv)
-            cost += w * float(r @ r)
+            r = _residual(P[i], P[j], Minvs[ci])
+            if not np.isfinite(r).all():
+                continue
             blocks = {}
-            for (k, sign) in ((i, -1.0), (j, 1.0)):
-                if k in col:
-                    Jk = np.zeros((6, 6))
-                    for d in range(6):
-                        dx = np.zeros(6)
-                        dx[d] = eps
-                        Pp = P[k] @ se3_exp(dx)
-                        Pm = P[k] @ se3_exp(-dx)
-                        if k == i:
-                            rp = _residual(Pp, P[j], Minv)
-                            rm = _residual(Pm, P[j], Minv)
-                        else:
-                            rp = _residual(P[i], Pp, Minv)
-                            rm = _residual(P[i], Pm, Minv)
-                        Jk[:, d] = (rp - rm) / (2.0 * eps)
-                    blocks[k] = Jk
+            if j in col:
+                blocks[j] = I6
+            if i in col:
+                blocks[i] = -_adjoint(np.linalg.inv(P[j]) @ P[i])
             for k1, J1 in blocks.items():
                 c1 = col[k1]
                 b[c1:c1 + 6] -= w * (J1.T @ r)
@@ -134,12 +161,17 @@ def optimize_pose_graph(poses: np.ndarray,
             delta = np.linalg.solve(H, b)
         except np.linalg.LinAlgError:
             break
+        if not np.isfinite(delta).all():
+            break
         for k in free:
             c = col[k]
             P[k] = P[k] @ se3_exp(delta[c:c + 6])
         if float(np.abs(delta).max()) < 1e-9:
             break
-    return np.stack(P).astype(np.float32)
+    out = np.stack(P)
+    if not np.isfinite(out).all():
+        return P0.astype(np.float32)
+    return out.astype(np.float32)
 
 
 def chain_constraints(poses: np.ndarray, weight: float = 1.0) -> list:

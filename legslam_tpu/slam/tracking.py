@@ -970,6 +970,10 @@ class TrackingFrontend:
                 self._mono_ref = None
                 self._track_lm = np.zeros((0,), np.int64)
                 self._track_px = np.zeros((0, 2), np.float32)
+                # drop depth-borrow scale ratios: the new segment gets a
+                # fresh median-depth gauge, so old-gauge ratios would bias
+                # the next SCALE_REFINEMENT median
+                self._scale_obs = []
                 self.n_map_resets += 1
         self._capture_vis(gray)
         self._prev_gray = gray
@@ -1752,14 +1756,30 @@ class TrackingFrontend:
             k.R, k.t = np.ascontiguousarray(Tk[:3, :3]), \
                 np.ascontiguousarray(Tk[:3, 3])
         # re-triangulate landmarks touched by the chain from their
-        # corrected observers (one landmark sweep of the BA alternation)
+        # corrected observers (one landmark sweep of the BA alternation).
+        # RGB-D landmarks carry 3D camera-frame obs; mono landmarks only
+        # 2D normalized obs (obs2d) and re-triangulate by DLT like
+        # _mono_local_ba does.
         for lm in self.landmarks.values():
-            if any(f in chain_set for f in lm.obs):
+            if lm.obs and any(f in chain_set for f in lm.obs):
                 pts = [self._to_world(camp[None], self.keyframes[f].R,
                                       self.keyframes[f].t)[0]
                        for f, camp in lm.obs.items() if f in self.keyframes]
                 if pts:
                     lm.world = np.mean(pts, axis=0).astype(np.float32)
+            elif lm.world is not None and \
+                    any(f in chain_set for f in lm.obs2d):
+                fids = [f for f in lm.obs2d if f in self.keyframes]
+                if len(fids) < 2:
+                    continue
+                Rs = np.stack([self.keyframes[f].R for f in fids])
+                ts = np.stack([self.keyframes[f].t for f in fids])
+                xs = np.stack([lm.obs2d[f] for f in fids])
+                X = triangulate_multi(Rs, ts, xs)
+                if X is not None and np.isfinite(X).all():
+                    cams = np.einsum("kij,j->ki", Rs, X) + ts
+                    if np.all(cams[:, 2] > 1e-3):
+                        lm.world = X
         self._cur_R, self._cur_t = kf.R.copy(), kf.t.copy()
         self._store_pose(kf.fid)
         self._local_ba()

@@ -71,3 +71,24 @@ def test_consistent_graph_is_fixed_point():
     cons = PG.chain_constraints(gt)
     opt = PG.optimize_pose_graph(gt, cons, fixed={0})
     np.testing.assert_allclose(opt, gt.astype(np.float32), atol=1e-6)
+
+
+def test_log_near_pi_and_nan_guard():
+    rng = np.random.default_rng(3)
+    # exp/log roundtrip right at / near theta = pi
+    for th in (np.pi - 1e-6, np.pi - 1e-3, np.pi * 0.999):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        xi = np.concatenate([th * axis, rng.normal(0, 0.5, 3)])
+        T = PG.se3_exp(xi)
+        xi2 = PG.se3_log(T)
+        np.testing.assert_allclose(PG.se3_exp(xi2), T, atol=1e-7)
+    # a near-pi loop edge must not corrupt poses with NaNs
+    gt = _circle_poses(8)
+    cons = PG.chain_constraints(gt)
+    flip = np.eye(4)
+    flip[:3, :3] = PG.se3_exp(
+        np.array([np.pi - 1e-9, 0, 0, 0, 0, 0]))[:3, :3]
+    cons.append((0, 7, flip, 50.0))
+    opt = PG.optimize_pose_graph(gt, cons, fixed={0})
+    assert np.isfinite(opt).all()
