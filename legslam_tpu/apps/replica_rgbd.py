@@ -59,6 +59,12 @@ def main(argv=None):
     parser.add_argument("--mm-dtype", default=None,
                         help="MXU input dtype for the pallas kernels "
                         "(bfloat16|float32; default bfloat16 on pallas)")
+    parser.add_argument("--n-views", type=int, default=1,
+                        help="data-parallel keyframes per mapping tick "
+                             "(multi-chip mesh axis; parallel/sharded.py)")
+    parser.add_argument("--spatial-strips", type=int, default=1,
+                        help="tile-row strips per view (multi-chip mesh "
+                             "axis; parallel/spatial.py)")
     parser.add_argument("--binning-refresh", type=int, default=4,
                         help="per-view binning cache interval (1 = exact)")
     parser.add_argument("--profile-dir", default=None,
@@ -125,6 +131,8 @@ def main(argv=None):
                             seed=args.seed, max_per_tile=args.max_per_tile,
                             include_lang_feat=not args.no_lf,
                             binning_refresh_interval=args.binning_refresh,
+                            n_views=args.n_views,
+                            spatial_strips=args.spatial_strips,
                             sensor_type="monocular" if base_sensor == "mono"
                             else base_sensor)
 
