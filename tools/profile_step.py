@@ -93,6 +93,18 @@ def main():
     pts[:, 2] = rng.uniform(0.5, 8.0, size=n_points).astype(np.float32)
     cols = rng.uniform(size=(n_points, 3)).astype(np.float32)
     st = G.create_from_pcd(pts, cols, capacity)
+    aniso = float(os.environ.get("PROF_ANISO", "0"))
+    if aniso > 0:
+        # stretch one scale axis like post-densify split stores (the
+        # anisotropic tile-ellipse cull's real operating point; the
+        # isotropic knn-init scene underestimates its pair reduction)
+        import jax.numpy as _jnp
+        stretch = rng.uniform(0.0, aniso, capacity).astype(np.float32)
+        sc = st.params.scaling + _jnp.stack(
+            [_jnp.asarray(stretch),
+             _jnp.zeros(capacity, _jnp.float32),
+             _jnp.zeros(capacity, _jnp.float32)], axis=1)
+        st = st.replace(params=st.params.replace(scaling=sc))
     w2c = np.eye(4, dtype=np.float32)
     view = CameraView.create(w2c[:3, :3], w2c[:3, 3], width, height,
                              fx=600.0, fy=600.0)
