@@ -11,7 +11,7 @@ Sources (any subset; all optional):
                           torchvision's pretrained alexnet importable for
                           the feature trunk
 
-Outputs <out>/dinov2.npz, pca.npz, clip_text.npz, talk2dino_proj.npz,
+Outputs <out>/dinov2.npz, pca.npz, clip_text.npz, clip_vision.npz, talk2dino_proj.npz,
 lpips_alex.npz.
 """
 from __future__ import annotations
@@ -73,6 +73,12 @@ def main(argv=None):
         save_params(os.path.join(args.out, "clip_text.npz"),
                     CT.convert_openai(sd))
         print("wrote clip_text.npz (openai)")
+        # the same OpenAI checkpoint carries the vision tower, which the
+        # image-as-query route needs (eval/utils.py:113-171)
+        from legslam_tpu.models import clip_vision as CV
+        save_params(os.path.join(args.out, "clip_vision.npz"),
+                    CV.convert_openai(sd))
+        print("wrote clip_vision.npz (openai)")
     elif args.clip_hf:
         from transformers import CLIPTextModelWithProjection
         model = CLIPTextModelWithProjection.from_pretrained(args.clip_hf)
