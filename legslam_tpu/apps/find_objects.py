@@ -136,6 +136,10 @@ def main(argv=None):
     ap.add_argument("--pixel-space", action="store_true")
     ap.add_argument("--no-pamr", action="store_true")
     ap.add_argument("--query", default=None)
+    ap.add_argument("--query-image", default=None,
+                    help="image-as-query: CLIP vision tower -> Talk2DINO "
+                         "projection -> PCA, the same embedding space as "
+                         "text (needs --weights with clip_vision.npz)")
     ap.add_argument("--weights", default=None,
                     help="converted weights dir (clip_text/talk2dino/pca)")
     ap.add_argument("--text-emb", default=None,
@@ -166,6 +170,14 @@ def main(argv=None):
 
     if args.text_emb:
         text = np.load(args.text_emb).reshape(-1)
+    elif args.query_image and args.weights:
+        import cv2
+        from legslam_tpu.models.talk2dino import build_image_embedding
+        from legslam_tpu.models.weights_io import load_image_pipeline
+        vision, proj, pca = load_image_pipeline(args.weights)
+        rgb = cv2.cvtColor(cv2.imread(args.query_image), cv2.COLOR_BGR2RGB)
+        text = np.asarray(build_image_embedding(
+            vision, proj, pca, jnp.asarray(rgb, jnp.float32) / 255.0))
     elif args.query and args.weights:
         from legslam_tpu.models.talk2dino import build_text_embedding
         from legslam_tpu.models.weights_io import load_text_pipeline
@@ -173,7 +185,8 @@ def main(argv=None):
         text = np.asarray(build_text_embedding(
             [args.query], clip_params, proj, pca))[0]
     else:
-        raise SystemExit("provide --text-emb or (--query + --weights)")
+        raise SystemExit("provide --text-emb, --query-image + --weights, "
+                         "or --query + --weights")
 
     if args.pixel_space:
         if not args.scene:

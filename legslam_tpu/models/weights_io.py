@@ -67,6 +67,14 @@ def load_encoder(weights_dir: str, dtype=jnp.bfloat16):
     return LanguageFeaturesEncoder(dino, pca, dtype=dtype)
 
 
+def load_image_pipeline(weights_dir: str):
+    """(clip_vision_params, projection, pca) for image-as-query
+    (talk2dino.build_image_embedding; eval/utils.py:113-171 route)."""
+    _, proj, pca = load_text_pipeline(weights_dir)
+    vision = load_params(os.path.join(weights_dir, "clip_vision.npz"))
+    return vision, proj, pca
+
+
 def load_text_pipeline(weights_dir: str):
     """(clip_params, projection, pca) from a converted weights dir."""
     from legslam_tpu.models import pca as PCA
