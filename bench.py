@@ -68,7 +68,9 @@ def _system_variant(width, height, n_points, cfg, refresh, smoke):
         binning_refresh_interval=refresh)
 
     def frame_work(frame):
-        lf = np.asarray(encoder.create_language_features(frame.color))
+        # on-device LF: the encoder dispatch overlaps host-side tracking
+        # (the keyframe path accepts jax arrays)
+        lf = encoder.create_language_features(frame.color)
         frontend.track(frame, lf_image=lf)
         mapper.drain_operations()
         if mapper.state is None and mapper.has_met_initial_conditions():

@@ -159,8 +159,11 @@ def main(argv=None):
             t0 = time.perf_counter()
             lf = None
             if encoder is not None:
-                lf = np.asarray(
-                    encoder.create_language_features(frame.color))
+                # keep the LF image ON DEVICE: the keyframe path accepts
+                # jax arrays (keyframe.py jnp.asarray is a no-op), so the
+                # encoder dispatch overlaps the host-side tracking below
+                # instead of forcing a per-frame host sync + transfer
+                lf = encoder.create_language_features(frame.color)
             if args.frontend == "visual":
                 frontend.track(frame, lf_image=lf,
                                color_right=frame.color_right,
