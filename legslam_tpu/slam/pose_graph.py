@@ -1,4 +1,4 @@
-"""SE(3) pose-graph optimization for loop closure.
+"""SE(3) and Sim(3) pose-graph optimization for loop closure.
 
 The TPU-frontend counterpart of ORB-SLAM3's essential-graph optimization
 (reference: ORB-SLAM3/src/Optimizer.cc OptimizeEssentialGraph, invoked by
@@ -7,16 +7,22 @@ anchor->current chain are refined so that (a) consecutive relative poses
 stay near their odometry estimates and (b) the loop constraint between the
 anchor region and the current keyframe is satisfied. Where the reference
 runs g2o Levenberg-Marquardt over Sim3 vertices, this runs a dense
-Gauss-Newton over SE(3) right-perturbations in numpy — chains are a few
-hundred keyframes at most, so the 6K x 6K normal equations are trivial on
+Gauss-Newton over right-perturbations in numpy — chains are a few
+hundred keyframes at most, so the banded normal equations are trivial on
 the host (the hot path stays on the TPU; this is episodic CPU work like
-the rest of the tracking frontend).
+the rest of the tracking frontend). Two vertex groups are provided:
+SE(3) (`optimize_pose_graph`, used for rgbd/stereo loops where depth
+pins the scale) and Sim(3) (`optimize_sim3_graph`, used for monocular
+loops where scale drifts along the chain — the reference's
+OptimizeEssentialGraph always optimizes Sim3 vertices and fixes scale=1
+for non-mono sensors, Optimizer.cc).
 
-Conventions: poses are camera-to-world 4x4 (P = Twc). A constraint
-(i, j, M, w) says P_i^-1 @ P_j should equal M, weighted w. Residual
-r = log(M^-1 (P_i^-1 P_j)) in se(3); Jacobians are computed numerically
-(central differences) — exact enough for GN at these scales and immune to
-adjoint bookkeeping errors.
+Conventions: poses are camera-to-world 4x4 (P = Twc); Sim(3) elements
+are 4x4 [[s*R, t], [0, 1]] so composition/inverse are plain matmul /
+np.linalg.inv. A constraint (i, j, M, w) says P_i^-1 @ P_j should equal
+M, weighted w. Residual r = log(M^-1 (P_i^-1 P_j)) in the group algebra;
+Jacobians use the g2o-style converged-residual linearization
+(d r/d delta_j = I, d r/d delta_i = -Ad(P_j^-1 P_i)).
 """
 from __future__ import annotations
 
@@ -49,18 +55,15 @@ def se3_exp(xi: np.ndarray) -> np.ndarray:
     return T
 
 
-def se3_log(T: np.ndarray) -> np.ndarray:
-    """4x4 -> (omega, v). Safe across the whole rotation range including
-    theta ~ pi (where the sin-based axis extraction degenerates)."""
-    R = np.asarray(T[:3, :3], np.float64)
-    t = np.asarray(T[:3, 3], np.float64)
+def _so3_log(R: np.ndarray) -> np.ndarray:
+    """Rotation log, safe across the whole range including theta ~ pi
+    (where the sin-based axis extraction degenerates)."""
+    R = np.asarray(R, np.float64)
     c = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
     th = np.arccos(c)
     if th < 1e-10:
-        w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
-                      R[1, 0] - R[0, 1]]) * 0.5
-        Vinv = np.eye(3) - 0.5 * _hat(w)
-        return np.concatenate([w, Vinv @ t])
+        return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]]) * 0.5
     if th > np.pi - 1e-4:
         # near pi: (R + I)/2 ~ a a^T + cos-term; take the axis from the
         # largest diagonal of (M - c I)/(1 - c), sign from the skew part
@@ -78,10 +81,19 @@ def se3_log(T: np.ndarray) -> np.ndarray:
                          R[1, 0] - R[0, 1]])
         if float(skew @ a) < 0.0:
             a = -a
-        w = th * a
-    else:
-        w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
-                      R[1, 0] - R[0, 1]]) * (th / (2.0 * np.sin(th)))
+        return th * a
+    return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                     R[1, 0] - R[0, 1]]) * (th / (2.0 * np.sin(th)))
+
+
+def se3_log(T: np.ndarray) -> np.ndarray:
+    """4x4 -> (omega, v)."""
+    t = np.asarray(T[:3, 3], np.float64)
+    w = _so3_log(T[:3, :3])
+    th = np.linalg.norm(w)
+    if th < 1e-10:
+        Vinv = np.eye(3) - 0.5 * _hat(w)
+        return np.concatenate([w, Vinv @ t])
     W = _hat(w)
     # V^-1 = I - W/2 + (1 - A/(2B)) / th^2 * W^2 with A = sin(th)/th,
     # B = (1-cos th)/th^2 — finite at th = pi (limit 1/pi^2)
@@ -103,43 +115,104 @@ def _adjoint(T: np.ndarray) -> np.ndarray:
     return A
 
 
-def _residual(Pi: np.ndarray, Pj: np.ndarray, Minv: np.ndarray
-              ) -> np.ndarray:
-    return se3_log(Minv @ (np.linalg.inv(Pi) @ Pj))
+# -- Sim(3) ------------------------------------------------------------
+# Element representation: 4x4 [[s*R, t], [0, 1]]; tangent ordering
+# (omega[3], v[3], sigma) with s = exp(sigma). The algebra element is
+# [[sigma*I + hat(omega), v], [0, 0]] and the group exp is its plain
+# matrix exponential, so exp/log lean on scipy's expm for the
+# translation-coupling integral W = int_0^1 exp(u*(sigma*I + Omega)) du
+# instead of the branch-heavy closed-form series (episodic host code;
+# exactness over speed).
+
+
+def sim3_matrix(R: np.ndarray, t: np.ndarray, s: float) -> np.ndarray:
+    T = np.eye(4)
+    T[:3, :3] = float(s) * np.asarray(R, np.float64)
+    T[:3, 3] = np.asarray(t, np.float64)
+    return T
+
+
+def sim3_parts(T: np.ndarray) -> tuple:
+    """4x4 [[sR, t],[0,1]] -> (R, t, s)."""
+    sR = np.asarray(T[:3, :3], np.float64)
+    s = float(np.cbrt(np.linalg.det(sR)))
+    return sR / s, np.asarray(T[:3, 3], np.float64).copy(), s
+
+
+def _sim3_W(omega: np.ndarray, sigma: float) -> np.ndarray:
+    """W with t = W v in the Sim(3) exponential: the top-right block of
+    expm([[sigma*I + Omega, I], [0, 0]]) (block-triangular identity
+    exp([[A, B],[0,0]]) = [[e^A, (int_0^1 e^{uA} du) B],[0, I]])."""
+    from scipy.linalg import expm
+    M = np.zeros((6, 6))
+    M[:3, :3] = sigma * np.eye(3) + _hat(omega)
+    M[:3, 3:] = np.eye(3)
+    return expm(M)[:3, 3:]
+
+
+def sim3_exp(xi: np.ndarray) -> np.ndarray:
+    """(omega, v, sigma) -> 4x4 [[sR, Wv],[0,1]]."""
+    from scipy.linalg import expm
+    xi = np.asarray(xi, np.float64)
+    M = np.zeros((4, 4))
+    M[:3, :3] = xi[6] * np.eye(3) + _hat(xi[:3])
+    M[:3, 3] = xi[3:6]
+    return expm(M)
+
+
+def sim3_log(T: np.ndarray) -> np.ndarray:
+    """4x4 -> (omega, v, sigma). W is invertible for |omega| <= pi
+    unless sigma = 0 and theta = 2*pi*k, which _so3_log never emits."""
+    R, t, s = sim3_parts(T)
+    w = _so3_log(R)
+    sigma = float(np.log(s))
+    v = np.linalg.solve(_sim3_W(w, sigma), t)
+    return np.concatenate([w, v, [sigma]])
+
+
+def _sim3_adjoint(T: np.ndarray) -> np.ndarray:
+    """7x7 Sim(3) adjoint for the (omega, v, sigma) ordering:
+    log(T exp(xi) T^-1) = Ad_T xi with omega' = R w,
+    v' = hat(t) R w + s R v - sigma t, sigma' = sigma."""
+    R, t, s = sim3_parts(T)
+    A = np.zeros((7, 7))
+    A[:3, :3] = R
+    A[3:6, :3] = _hat(t) @ R
+    A[3:6, 3:6] = s * R
+    A[3:6, 6] = -t
+    A[6, 6] = 1.0
+    return A
 
 
 def _solve_normal(H: np.ndarray, b: np.ndarray, constraints: list,
-                  col: dict) -> np.ndarray:
+                  col: dict, d: int = 6) -> np.ndarray:
     """Solve the GN normal equations. Loop-closure graphs are a keyframe
     CHAIN plus edges into the fixed anchor, so H is block-tridiagonal
-    (half-bandwidth 11 scalars) — solve it banded in O(K) instead of the
-    dense O(K^3), which stalls the online tracking thread seconds per
+    (half-bandwidth 2d-1 scalars) — solve it banded in O(K) instead of
+    the dense O(K^3), which stalls the online tracking thread seconds per
     loop closure on long chains. Any edge that couples two free poses
     more than one chain step apart breaks the band; fall back to dense.
     """
     n = H.shape[0]
     banded = all(
-        abs(col[i] - col[j]) <= 6
+        abs(col[i] - col[j]) <= d
         for (i, j, _, _) in constraints if i in col and j in col)
-    if not banded or n <= 36:
+    if not banded or n <= 6 * d:
         return np.linalg.solve(H, b)
     from scipy.linalg import solve_banded
-    lo = hi = 11
+    lo = hi = 2 * d - 1
     ab = np.zeros((lo + hi + 1, n))
-    for d in range(-lo, hi + 1):
-        diag = np.diagonal(H, offset=d)
-        ab[hi - d, max(d, 0):max(d, 0) + diag.shape[0]] = diag
+    for off in range(-lo, hi + 1):
+        diag = np.diagonal(H, offset=off)
+        ab[hi - off, max(off, 0):max(off, 0) + diag.shape[0]] = diag
     return solve_banded((lo, hi), ab, b)
 
 
-def optimize_pose_graph(poses: np.ndarray,
-                        constraints: list,
-                        fixed: set | frozenset = frozenset({0}),
-                        iters: int = 8,
-                        damping: float = 1e-8) -> np.ndarray:
-    """Gauss-Newton over SE(3) poses.
+def _optimize(poses, constraints, fixed, iters, damping,
+              d, expf, logf, adjf) -> np.ndarray:
+    """Gauss-Newton over a matrix Lie group with d-dim tangent.
 
-    poses: [K, 4, 4] camera-to-world initial estimates.
+    poses: [K, 4, 4] initial estimates (group elements).
     constraints: list of (i, j, M [4,4], weight) with M ~ P_i^-1 P_j.
     fixed: pose indices held constant (gauge anchor).
     Returns optimized [K, 4, 4]; falls back to the inputs if the solve
@@ -154,48 +227,72 @@ def optimize_pose_graph(poses: np.ndarray,
     P = [p.copy() for p in P0]
     K = len(P)
     free = [k for k in range(K) if k not in fixed]
-    col = {k: 6 * n for n, k in enumerate(free)}
-    n_var = 6 * len(free)
+    col = {k: d * n for n, k in enumerate(free)}
+    n_var = d * len(free)
     if n_var == 0 or not constraints:
         return P0.astype(np.float32)
     Minvs = [np.linalg.inv(np.asarray(M, np.float64))
              for (_, _, M, _) in constraints]
-    I6 = np.eye(6)
+    Id = np.eye(d)
 
     for _ in range(iters):
         H = np.zeros((n_var, n_var))
         b = np.zeros(n_var)
         for (ci, (i, j, _, w)) in enumerate(constraints):
-            r = _residual(P[i], P[j], Minvs[ci])
+            r = logf(Minvs[ci] @ (np.linalg.inv(P[i]) @ P[j]))
             if not np.isfinite(r).all():
                 continue
             blocks = {}
             if j in col:
-                blocks[j] = I6
+                blocks[j] = Id
             if i in col:
-                blocks[i] = -_adjoint(np.linalg.inv(P[j]) @ P[i])
+                blocks[i] = -adjf(np.linalg.inv(P[j]) @ P[i])
             for k1, J1 in blocks.items():
                 c1 = col[k1]
-                b[c1:c1 + 6] -= w * (J1.T @ r)
+                b[c1:c1 + d] -= w * (J1.T @ r)
                 for k2, J2 in blocks.items():
                     c2 = col[k2]
-                    H[c1:c1 + 6, c2:c2 + 6] += w * (J1.T @ J2)
+                    H[c1:c1 + d, c2:c2 + d] += w * (J1.T @ J2)
         H[np.diag_indices_from(H)] += damping * (1.0 + np.diag(H))
         try:
-            delta = _solve_normal(H, b, constraints, col)
+            delta = _solve_normal(H, b, constraints, col, d)
         except np.linalg.LinAlgError:
             break
         if not np.isfinite(delta).all():
             break
         for k in free:
             c = col[k]
-            P[k] = P[k] @ se3_exp(delta[c:c + 6])
+            P[k] = P[k] @ expf(delta[c:c + d])
         if float(np.abs(delta).max()) < 1e-9:
             break
     out = np.stack(P)
     if not np.isfinite(out).all():
         return P0.astype(np.float32)
     return out.astype(np.float32)
+
+
+def optimize_pose_graph(poses: np.ndarray,
+                        constraints: list,
+                        fixed: set | frozenset = frozenset({0}),
+                        iters: int = 8,
+                        damping: float = 1e-8) -> np.ndarray:
+    """Gauss-Newton over SE(3) poses (see _optimize)."""
+    return _optimize(poses, constraints, fixed, iters, damping,
+                     6, se3_exp, se3_log, _adjoint)
+
+
+def optimize_sim3_graph(poses: np.ndarray,
+                        constraints: list,
+                        fixed: set | frozenset = frozenset({0}),
+                        iters: int = 10,
+                        damping: float = 1e-8) -> np.ndarray:
+    """Gauss-Newton over Sim(3) vertices — the monocular essential graph
+    (Optimizer.cc OptimizeEssentialGraph with bFixScale=false): scale
+    drift accumulated along the chain is distributed by the per-vertex
+    sigma DoF instead of being absorbed into a single global rescale.
+    poses/constraints are 4x4 [[sR, t],[0,1]] Sim(3) matrices."""
+    return _optimize(poses, constraints, fixed, iters, damping,
+                     7, sim3_exp, sim3_log, _sim3_adjoint)
 
 
 def chain_constraints(poses: np.ndarray, weight: float = 1.0) -> list:
