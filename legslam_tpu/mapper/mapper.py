@@ -353,15 +353,26 @@ class GaussianMapper:
             new_w2c = np.eye(4, dtype=np.float32)
             new_w2c[:3, :3], new_w2c[:3, 3] = packet.R, packet.t
             diff = np.linalg.inv(new_w2c) @ old_w2c  # old-cam -> new-cam in world
+            # per-KF Sim(3) scale (monocular essential graph) on top of
+            # the op-level scale; the surgery applies x' = s*R_diff x +
+            # diff_t, so the Sim(3)-exact translation is
+            # s * R_wc_new @ t_cw_old + t_wc_new (reduces to the SE(3)
+            # diff when s == 1)
+            eff_scale = float(op.scale) * float(
+                getattr(packet, "scale", 1.0) or 1.0)
+            diff_t = eff_scale * (packet.R.T @ old.t) - \
+                packet.R.T @ packet.t
             big_rot = rotation_angle_deg(diff[:3, :3]) > self.mp.large_rot_th
             big_trans = np.linalg.norm(diff[:3, 3]) > self.mp.large_trans_th
-            if big_rot or big_trans:
+            big_scale = abs(eff_scale - 1.0) > 0.01
+            if big_rot or big_trans or big_scale:
                 w2v = jnp.asarray(old_w2c)
                 self.state, not_transformed, _ = G.transform_visible_points(
                     self.state, not_transformed,
-                    jnp.asarray(diff[:3, :3]), jnp.asarray(diff[:3, 3]),
+                    jnp.asarray(diff[:3, :3]),
+                    jnp.asarray(diff_t.astype(np.float32)),
                     w2v, old.creation_iter,
-                    self.mp.stable_num_iter_existence, op.scale)
+                    self.mp.stable_num_iter_existence, eff_scale)
             old.set_pose(packet.R, packet.t, self.intr["fx"],
                          self.intr["fy"])
             old.remaining_times_of_use += \

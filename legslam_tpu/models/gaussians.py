@@ -509,7 +509,11 @@ def transform_visible_points(state: GaussianState,
         diff_R[None] @ quat_to_rotmat(normalize_quat(p.rotation)))
     params = p.replace(
         xyz=jnp.where(m[:, None], xyz_new, p.xyz),
-        rotation=jnp.where(m[:, None], rot_new, p.rotation))
+        rotation=jnp.where(m[:, None], rot_new, p.rotation),
+        # a Sim(3)-rescaled region rescales its gaussian extents too
+        # (log-scale shift; no-op at the reference's rigid scale == 1)
+        scaling=jnp.where(m[:, None], p.scaling + jnp.log(scale),
+                          p.scaling))
     adam_m = state.adam_m.replace(
         xyz=jnp.where(m[:, None], 0.0, state.adam_m.xyz),
         rotation=jnp.where(m[:, None], 0.0, state.adam_m.rotation))

@@ -46,6 +46,10 @@ class KeyframePacket:
     kp_pixels: Optional[np.ndarray] = None    # [N,2]
     kp_points_local: Optional[np.ndarray] = None  # [N,3]
     is_loop_kf: bool = False
+    # per-KF Sim(3) scale from the monocular essential graph (1.0 for
+    # rgbd/stereo loops and all non-loop packets): the mapper scales the
+    # gaussians anchored to this keyframe by it during loop surgery
+    scale: float = 1.0
 
 
 @dataclasses.dataclass

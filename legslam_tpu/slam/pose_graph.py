@@ -304,3 +304,26 @@ def chain_constraints(poses: np.ndarray, weight: float = 1.0) -> list:
             np.asarray(poses[k + 1], np.float64)
         out.append((k, k + 1, M, weight))
     return out
+
+
+def umeyama_sim3(src: np.ndarray, dst: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, float]:
+    """Closed-form similarity from 3D-3D correspondences: (R, t, s) with
+    dst ~= s * R @ src + t (Horn / Umeyama 1991 — the solver behind
+    ORB-SLAM3's Sim3Solver, used here to estimate the monocular loop
+    edge's relative Sim(3) from matched anchor-era vs drifted-era camera
+    points). src/dst are [N,3]."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    xs, xd = src - mu_s, dst - mu_d
+    cov = xd.T @ xs / src.shape[0]
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_s = float((xs * xs).sum() / src.shape[0])
+    s = float((D * np.diag(S)).sum() / max(var_s, 1e-12))
+    t = mu_d - s * (R @ mu_s)
+    return R, t, s

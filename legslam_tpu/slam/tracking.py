@@ -1683,17 +1683,20 @@ class TrackingFrontend:
         if best_fid is None:
             return
         old = self.keyframes[best_fid]
+        S_mc = None
         if self.sensor == "mono":
             # monocular verification has no depth to lift: track the
             # anchor's landmark pixels into this frame and PnP against
-            # their anchor-era world points (3D-2D, like relocalization;
-            # the reference solves mono loops with Sim3 on matched map
-            # points, LoopClosing.cc ComputeSim3 — scale drift here is
-            # left to the depth-borrow ScaleRefinement path)
+            # their anchor-era world points (3D-2D, like relocalization).
+            # The loop edge itself is the relative Sim(3) S_mc estimated
+            # by Horn on 3D-3D matches (the reference's ComputeSim3 /
+            # Sim3Solver, LoopClosing.cc), so accumulated scale drift is
+            # corrected by the essential-graph optimization below rather
+            # than deferred to the depth-borrow ScaleRefinement path.
             pose = self._loop_verify_mono(old, kf)
             if pose is None:
                 return
-            R, t = pose
+            R, t, S_mc = pose
         else:
             # geometric verification: track old-KF corners into this frame
             pts = detect_corners(old.gray, 300)
@@ -1741,20 +1744,25 @@ class TrackingFrontend:
             Tk[:3, :3], Tk[:3, 3] = k.R, k.t
             Tcw.append(Tk)
         P = np.stack([np.linalg.inv(Tk) for Tk in Tcw])   # Twc
-        odo = PG.chain_constraints(P, weight=1.0)         # pre-correction
-        loop_edge = (0, len(full) - 1,
-                     np.linalg.inv(np.asarray(P[0], np.float64)) @
-                     np.linalg.inv(np.asarray(T_corr, np.float64)), 100.0)
-        for j, f in enumerate(chain):                     # screw init
-            s = (j + 1) / len(chain)
-            W_s = _fractional_rigid(W, s)
-            P[j + 1] = np.linalg.inv(Tcw[j + 1] @ np.linalg.inv(W_s))
-        P = PG.optimize_pose_graph(P, odo + [loop_edge], fixed={0})
-        for j, f in enumerate(chain):
-            Tk = np.linalg.inv(P[j + 1]).astype(np.float32)
-            k = self.keyframes[f]
-            k.R, k.t = np.ascontiguousarray(Tk[:3, :3]), \
-                np.ascontiguousarray(Tk[:3, 3])
+        kf_scales: dict[int, float] = {}
+        if self.sensor == "mono":
+            kf_scales = self._sim3_chain_correct(chain, P, T_corr, S_mc)
+        else:
+            odo = PG.chain_constraints(P, weight=1.0)     # pre-correction
+            loop_edge = (0, len(full) - 1,
+                         np.linalg.inv(np.asarray(P[0], np.float64)) @
+                         np.linalg.inv(np.asarray(T_corr, np.float64)),
+                         100.0)
+            for j, f in enumerate(chain):                 # screw init
+                s = (j + 1) / len(chain)
+                W_s = _fractional_rigid(W, s)
+                P[j + 1] = np.linalg.inv(Tcw[j + 1] @ np.linalg.inv(W_s))
+            P = PG.optimize_pose_graph(P, odo + [loop_edge], fixed={0})
+            for j, f in enumerate(chain):
+                Tk = np.linalg.inv(P[j + 1]).astype(np.float32)
+                k = self.keyframes[f]
+                k.R, k.t = np.ascontiguousarray(Tk[:3, :3]), \
+                    np.ascontiguousarray(Tk[:3, 3])
         # re-triangulate landmarks touched by the chain from their
         # corrected observers (one landmark sweep of the BA alternation).
         # RGB-D landmarks carry 3D camera-frame obs; mono landmarks only
@@ -1787,16 +1795,123 @@ class TrackingFrontend:
                    for f in chain[-self.ba_window:]]
         for p in packets:
             p.is_loop_kf = True
+            # per-KF Sim(3) scale from the essential graph: the mapper's
+            # visible-point surgery scales the gaussians anchored to this
+            # keyframe by it (mono loops; 1.0 for rgbd/stereo)
+            p.scale = kf_scales.get(p.fid, 1.0)
         self.queue.push(MappingOperation(
             kind=OpKind.LOOP_CLOSE_BA, keyframes=packets))
         self.n_loop_closures += 1
 
+    def _sim3_chain_correct(self, chain: list, P: np.ndarray,
+                            T_corr: np.ndarray,
+                            S_mc: Optional[np.ndarray]) -> dict:
+        """Monocular essential-graph correction: optimize the anchor->
+        current keyframe chain over Sim(3) vertices (Optimizer.cc
+        OptimizeEssentialGraph with bFixScale=false via LoopClosing.cc
+        CorrectLoop) so scale drift accumulated along the chain is
+        distributed by the per-vertex scale DoF. P is [1+len(chain),4,4]
+        drifted Twc with the anchor first; the loop edge is the Horn
+        Sim(3) S_mc when available, else the PnP SE(3) at scale 1.
+        Writes corrected SE(3) poses back to the keyframes (a Sim(3)
+        camera [sR|t] acts on world points identically to its SE(3)
+        part — scale only matters for correcting anchored structure)
+        and returns {fid: scale} for the mapper's point surgery."""
+        from legslam_tpu.slam import pose_graph as PG
+        P64 = np.asarray(P, np.float64)
+        odo = PG.chain_constraints(P64, weight=1.0)       # pre-correction
+        if S_mc is None:
+            M_loop = np.linalg.inv(P64[0]) @ \
+                np.linalg.inv(np.asarray(T_corr, np.float64))
+        else:
+            M_loop = np.asarray(S_mc, np.float64)
+        loop_edge = (0, len(P64) - 1, M_loop, 100.0)
+        # geodesic-fractional Sim(3) init: distribute the world correction
+        # W = S_cur_corrected @ Twc_drift^-1 along the chain
+        W = (P64[0] @ M_loop) @ np.linalg.inv(P64[-1])
+        xi_w = PG.sim3_log(W)
+        Pi = P64.copy()
+        for j in range(len(chain)):
+            frac = (j + 1) / len(chain)
+            Pi[j + 1] = PG.sim3_exp(frac * xi_w) @ P64[j + 1]
+        Popt = PG.optimize_sim3_graph(Pi, odo + [loop_edge], fixed={0})
+        scales: dict[int, float] = {}
+        for j, f in enumerate(chain):
+            R_wc, t_wc, s = PG.sim3_parts(Popt[j + 1])
+            Twc = np.eye(4)
+            Twc[:3, :3], Twc[:3, 3] = R_wc, t_wc
+            Tk = np.linalg.inv(Twc).astype(np.float32)
+            k = self.keyframes[f]
+            k.R, k.t = np.ascontiguousarray(Tk[:3, :3]), \
+                np.ascontiguousarray(Tk[:3, 3])
+            scales[f] = float(s)
+        return scales
+
+    def _loop_sim3_mono(self, old: _KF, kf: _KF, px_cur: np.ndarray,
+                        world_anchor: np.ndarray, R_corr: np.ndarray,
+                        t_corr: np.ndarray) -> Optional[np.ndarray]:
+        """Estimate the mono loop's relative Sim(3) S_mc (current-cam ->
+        anchor-cam, the reference's Sim3Solver/ComputeSim3 analogue):
+        anchor-era camera points come from the verified matches' landmark
+        worlds; their DRIFTED-scale current-camera points from two-view
+        triangulation against the previous keyframe at the still-drifted
+        poses. Horn on the 3D-3D pairs yields (R, t, s); the rotation is
+        gated against the PnP estimate. Returns [[sR, t],[0,1]] or None
+        (the caller then falls back to a scale-1 loop edge)."""
+        if len(self._kf_order) < 2:
+            return None
+        prev = self.keyframes.get(self._kf_order[-2])
+        if prev is None or prev.fid == old.fid or prev.fid == kf.fid:
+            return None
+        px_prev, ok = klt_track_fb(kf.gray, prev.gray, px_cur)
+        if int(ok.sum()) < self.min_inliers:
+            return None
+        xn_cur = self._normalize(px_cur[ok])
+        xn_prev = self._normalize(px_prev[ok])
+        wa = world_anchor[ok]
+        Rs = np.stack([kf.R, prev.R])
+        ts = np.stack([kf.t, prev.t])
+        x_c, x_m = [], []
+        for i in range(xn_cur.shape[0]):
+            X = triangulate_multi(Rs, ts,
+                                  np.stack([xn_cur[i], xn_prev[i]]))
+            if X is None or not np.isfinite(X).all():
+                continue
+            cams = Rs @ X + ts                            # [2,3]
+            if not np.all(cams[:, 2] > 1e-3):
+                continue
+            if np.linalg.norm(cams[0, :2] / cams[0, 2] - xn_cur[i]) > 8e-3:
+                continue
+            x_c.append(cams[0])
+            x_m.append(old.R @ wa[i] + old.t)
+        if len(x_c) < max(self.min_inliers, 8):
+            return None
+        x_c, x_m = np.stack(x_c), np.stack(x_m)
+        from legslam_tpu.slam import pose_graph as PG
+        R_u, t_u, s = PG.umeyama_sim3(x_c, x_m)
+        # one trimmed re-fit: drop correspondences past 2.5x the median
+        # residual (triangulation against one nearby KF is parallax-noisy)
+        res = np.linalg.norm(x_m - (s * (x_c @ R_u.T) + t_u), axis=1)
+        keep = res <= 2.5 * max(float(np.median(res)), 1e-9)
+        if int(keep.sum()) >= max(self.min_inliers, 8):
+            R_u, t_u, s = PG.umeyama_sim3(x_c[keep], x_m[keep])
+        # gates: Horn rotation must agree with the (more robust, many-
+        # point) PnP loop pose; scale within a sane drift envelope
+        R_mc = old.R @ R_corr.T
+        ang = np.degrees(np.arccos(np.clip(
+            (np.trace(R_u @ R_mc.T) - 1.0) / 2.0, -1.0, 1.0)))
+        if not (0.2 < s < 5.0) or ang > 15.0:
+            return None
+        return PG.sim3_matrix(R_u, t_u, s)
+
     def _loop_verify_mono(self, old: _KF, kf: _KF
-                          ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+                          ) -> Optional[tuple]:
         """Mono loop verification: KLT the anchor keyframe's landmark
         pixels into the current frame, PnP against their (anchor-era,
         loop-consistent) world points. Returns the corrected current
-        (R, t) or None. Does not touch live track state."""
+        (R, t, S_mc) — S_mc the relative Sim(3) loop edge from
+        _loop_sim3_mono, or None when its gates fail — or None when
+        verification fails. Does not touch live track state."""
         px_old, world = [], []
         for lm in self.landmarks.values():
             if lm.world is not None and old.fid in lm.obs2d:
@@ -1821,7 +1936,9 @@ class TrackingFrontend:
         if R is None or inl.sum() < self.min_inliers or \
                 inl.sum() < 0.5 * int(ok.sum()):
             return None
-        return R, t
+        S_mc = self._loop_sim3_mono(old, kf, cur_px[ok][inl],
+                                    world[ok][inl], R, t)
+        return R, t, S_mc
 
     # -- trajectory / lifecycle -----------------------------------------
     def trajectory(self) -> tuple[np.ndarray, np.ndarray]:

@@ -230,3 +230,100 @@ def test_mono_map_reset_recovers_from_aggressive_motion():
     assert any(i >= len(frames) * 3 // 4 for i in created_at), created_at
     fids, traj = fe.trajectory()
     assert np.isfinite(traj).all() and len(fids) == len(frames)
+
+
+def test_sim3_chain_correct_recovers_scale_drift():
+    """Monocular essential-graph wiring (_sim3_chain_correct): a keyframe
+    chain whose odometry accumulated multiplicative scale drift is pulled
+    back by a scale-carrying Sim(3) loop edge — corrected centers land
+    near ground truth and the per-KF scales recover the drift profile
+    (Optimizer.cc OptimizeEssentialGraph bFixScale=false via
+    LoopClosing.cc CorrectLoop)."""
+    from legslam_tpu.slam import pose_graph as PG
+
+    ds = SyntheticDataset(n_frames=1, width=64, height=48, n_gaussians=50)
+    fe = T.TrackingFrontend(ds.intrinsics, sensor="mono",
+                            enable_loop_closing=False)
+    K, gamma = 12, 1.06
+    c_true = np.stack([np.array([0.5 * j, 0.0, 0.0]) for j in range(K)])
+    c_drift = [c_true[0]]
+    for j in range(1, K):
+        c_drift.append(c_drift[-1] + gamma ** j * (c_true[j] - c_true[j - 1]))
+    c_drift = np.stack(c_drift)
+    gray = np.zeros((48, 64), np.float32)
+    P = np.zeros((K, 4, 4))
+    for j in range(K):
+        Twc = np.eye(4)
+        Twc[:3, 3] = c_drift[j]
+        P[j] = Twc
+        Tcw = np.linalg.inv(Twc).astype(np.float32)
+        fe.keyframes[j] = T._KF(fid=j, R=np.ascontiguousarray(Tcw[:3, :3]),
+                                t=np.ascontiguousarray(Tcw[:3, 3]),
+                                gray=gray, color=gray, depth=None)
+        fe._kf_order.append(j)
+    # loop edge: corrected current vertex = true center; the vertex scale
+    # maps DRIFTED-scale camera coords to the true world, and gamma > 1
+    # inflates the drifted region by gamma^j, so s_cur = gamma^-(K-1)
+    s_cur = gamma ** -(K - 1)
+    S_cur = PG.sim3_matrix(np.eye(3), c_true[-1], s_cur)
+    M_loop = np.linalg.inv(P[0]) @ S_cur
+    scales = fe._sim3_chain_correct(list(range(1, K)), P, None, M_loop)
+
+    centers = np.stack([-(fe.keyframes[j].R.T @ fe.keyframes[j].t)
+                        for j in range(K)])
+    drift_err = np.linalg.norm(c_drift[-1] - c_true[-1])
+    corr_err = np.linalg.norm(centers[-1] - c_true[-1])
+    assert corr_err < 0.2 * drift_err, (corr_err, drift_err)
+    # per-vertex scales recover the 1/gamma^j drift profile (monotone
+    # decreasing, endpoint pinned by the loop edge)
+    svals = [scales[j] for j in range(1, K)]
+    assert abs(svals[-1] - s_cur) / s_cur < 0.15, (svals[-1], s_cur)
+    assert svals[-1] < svals[len(svals) // 2] < svals[0] + 0.02
+
+
+def test_mapper_loop_surgery_applies_packet_scale(tmp_path):
+    """LOOP_CLOSE_BA packets carrying a per-KF Sim(3) scale transform the
+    anchored gaussians about the keyframe camera (x' = s*x about the
+    camera center; here identity pose with s=2 => x' = 2x, log-scaling
+    += log 2) — the mapper-side consumer of the monocular essential
+    graph's output."""
+    import jax.numpy as jnp
+
+    from legslam_tpu.mapper.mapper import GaussianMapper
+    from legslam_tpu.models import gaussians as G
+    from legslam_tpu.slam.interface import (KeyframePacket,
+                                            MappingOperation, OpKind,
+                                            OperationQueue)
+
+    ds = SyntheticDataset(n_frames=1, width=64, height=48, n_gaussians=50)
+    q = OperationQueue()
+    mapper = GaussianMapper(q, ds.intrinsics, capacity=1 << 10,
+                            result_dir=str(tmp_path),
+                            include_lang_feat=False)
+    color = np.zeros((48, 64, 3), np.float32)
+    pkt = KeyframePacket(fid=0, timestamp=0.0,
+                         R=np.eye(3, dtype=np.float32),
+                         t=np.zeros(3, np.float32), color=color,
+                         depth=None, lf_image=None)
+    mapper.handle_operation(MappingOperation(kind=OpKind.LOCAL_BA,
+                                             keyframes=[pkt]))
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    pts[:, 2] += 3.0                      # in front of the camera
+    cols = rng.uniform(size=(64, 3)).astype(np.float32)
+    mapper.state = G.create_from_pcd(pts, cols, capacity=1 << 10)
+    xyz0 = np.asarray(mapper.state.params.xyz[:64])
+    sc0 = np.asarray(mapper.state.params.scaling[:64])
+
+    loop_pkt = KeyframePacket(fid=0, timestamp=0.0,
+                              R=np.eye(3, dtype=np.float32),
+                              t=np.zeros(3, np.float32), color=color,
+                              depth=None, lf_image=None,
+                              is_loop_kf=True, scale=2.0)
+    mapper.handle_operation(MappingOperation(kind=OpKind.LOOP_CLOSE_BA,
+                                             keyframes=[loop_pkt]))
+    xyz1 = np.asarray(mapper.state.params.xyz[:64])
+    sc1 = np.asarray(mapper.state.params.scaling[:64])
+    np.testing.assert_allclose(xyz1, 2.0 * xyz0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(sc1, sc0 + np.log(2.0), rtol=1e-5,
+                               atol=1e-5)
