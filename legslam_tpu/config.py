@@ -188,6 +188,12 @@ class RasterizeConfig:
     # prefix uses a hi/lo bf16 split (two matmuls) to keep near-f32
     # accuracy, so only blend features/weights see the 2^-8 quantization.
     mm_dtype: str = "float32"
+    # exact anisotropic tile-ellipse pair cull in binning (_corner_cull):
+    # render-exact (culled pairs cannot clear the kernels' alpha keep
+    # mask anywhere in their tile). Pair reduction measured -9% on the
+    # near-isotropic bench cloud and -56% on anisotropy-stretched
+    # (post-split-like) stores; knob kept for A/B measurement.
+    ellipse_cull: bool = True
 
     def span(self) -> int:
         return self.max_span_x * self.max_span_y

@@ -80,8 +80,8 @@ def effective_radius(radius: jnp.ndarray, opacity: jnp.ndarray
     return jnp.minimum(r, radius.astype(jnp.float32)).astype(radius.dtype)
 
 
-def _corner_cull(in_span, tx, ty, cull_cols_sorted,
-                 tile_w: int, tile_h: int):
+def _corner_cull(in_span, x0_tile, y0_tile, cull_cols_sorted,
+                 tile_w: int, tile_h: int, msx: int, msy: int):
     """Drop candidate (gaussian, tile) pairs that cannot clear the
     compositing kernels' alpha >= ALPHA_MIN keep mask ANYWHERE in the
     tile: exact ANISOTROPIC test — minimize the conic quadratic form
@@ -94,36 +94,46 @@ def _corner_cull(in_span, tx, ty, cull_cols_sorted,
     pairs. The box is padded 0.5 px and the threshold gets a relative
     slack so f32 ulp differences vs the kernels' own alpha chain cannot
     drop a contributing pair (conservative => the cull stays
-    render-exact). Shapes: in_span [P, msy, msx], tx [P, 1, msx],
-    ty [P, msy, 1], cull_cols_sorted [P, 6] = (x, y, ca, cb, cc, thr)
-    with thr = ln(op / ALPHA_MIN) (<= 0 means cull everywhere)."""
+    render-exact). Shapes: in_span [S, P] (S = msy*msx candidate slots,
+    see _candidate_keys), x0_tile/y0_tile [P] (depth-ordered rect
+    origins), cull_cols_sorted [P, 6] = (x, y, ca, cb, cc, thr) with
+    thr = ln(op / ALPHA_MIN) (<= 0 means cull everywhere).
+
+    LAYOUT: all the arithmetic runs as [S, P] with the BIG axis (P) in
+    the 128-lane dim and the candidate slots in sublanes — the natural
+    [P, msy, msx] orientation leaves 124/128 lanes idle (trailing axis
+    4) and measured 2x the whole binning pipeline on v5e."""
     cs = cull_cols_sorted
-    px = cs[:, 0][:, None, None]
-    py = cs[:, 1][:, None, None]
-    ca = cs[:, 2][:, None, None]
-    cb = cs[:, 3][:, None, None]
-    cc = cs[:, 4][:, None, None]
-    thr = cs[:, 5][:, None, None]
+    px, py = cs[:, 0], cs[:, 1]                       # [P]
+    ca, cb, cc, thr = cs[:, 2], cs[:, 3], cs[:, 4], cs[:, 5]
     # tile pixel-center box in gaussian-centered coordinates, +0.5 slack
-    x0 = tx.astype(jnp.float32) * tile_w - px - 0.5
+    oyy, oxx = jnp.meshgrid(jnp.arange(msy, dtype=jnp.float32),
+                            jnp.arange(msx, dtype=jnp.float32),
+                            indexing="ij")
+    off_x = (oxx.reshape(-1, 1)) * tile_w             # [S, 1]
+    off_y = (oyy.reshape(-1, 1)) * tile_h
+    gx = x0_tile.astype(jnp.float32) * tile_w - px - 0.5   # [P]
+    gy = y0_tile.astype(jnp.float32) * tile_h - py - 0.5
+    x0 = gx[None, :] + off_x                          # [S, P]
     x1 = x0 + (tile_w - 1) + 1.0
-    y0 = ty.astype(jnp.float32) * tile_h - py - 0.5
+    y0 = gy[None, :] + off_y
     y1 = y0 + (tile_h - 1) + 1.0
+    ca_, cb_, cc_ = ca[None, :], cb[None, :], cc[None, :]
 
     def q(dx, dy):
-        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        return 0.5 * (ca_ * dx * dx + cc_ * dy * dy) + cb_ * dx * dy
 
     # conic diagonals are > 0 for every valid gaussian (det>0 + lowpass);
     # guard anyway so culled/invalid lanes stay finite
-    inv_ca = 1.0 / jnp.maximum(ca, 1e-12)
-    inv_cc = 1.0 / jnp.maximum(cc, 1e-12)
+    inv_ca = (1.0 / jnp.maximum(ca, 1e-12))[None, :]
+    inv_cc = (1.0 / jnp.maximum(cc, 1e-12))[None, :]
     # exact min over the box: 0 if the center is inside, else the least
     # of the four edge minima (PSD quadratic => the constrained min lies
     # on the boundary when the unconstrained min is outside)
-    yx0 = jnp.clip(-cb * x0 * inv_cc, y0, y1)
-    yx1 = jnp.clip(-cb * x1 * inv_cc, y0, y1)
-    xy0 = jnp.clip(-cb * y0 * inv_ca, x0, x1)
-    xy1 = jnp.clip(-cb * y1 * inv_ca, x0, x1)
+    yx0 = jnp.clip(-cb_ * x0 * inv_cc, y0, y1)
+    yx1 = jnp.clip(-cb_ * x1 * inv_cc, y0, y1)
+    xy0 = jnp.clip(-cb_ * y0 * inv_ca, x0, x1)
+    xy1 = jnp.clip(-cb_ * y1 * inv_ca, x0, x1)
     q_min = jnp.minimum(
         jnp.minimum(q(x0, yx0), q(x1, yx1)),
         jnp.minimum(q(xy0, y0), q(xy1, y1)))
@@ -131,8 +141,26 @@ def _corner_cull(in_span, tx, ty, cull_cols_sorted,
     q_min = jnp.where(inside, 0.0, q_min)
     # relative + absolute slack on the threshold comparison (the kernels
     # evaluate the same form in their own f32 op order)
-    keep = q_min <= thr * (1.0 + 1e-4) + 1e-5
-    return in_span & keep & (thr > 0.0)
+    keep = (q_min <= thr[None, :] * (1.0 + 1e-4) + 1e-5) & \
+        (thr[None, :] > 0.0)                          # [S, P]
+    return in_span & keep
+
+
+def _candidate_keys(x0, y0, sx, sy, v, ntx: int, P: int,
+                    msx: int, msy: int):
+    """[S, P] candidate construction (S = msy*msx static span slots,
+    row-major (sy, sx)): tile id + in-span mask per (slot, gaussian).
+    Same [S, P] layout rationale as _corner_cull — the 128-lane dim
+    carries P. Inputs are depth-ordered [P] rect origins/spans/valid."""
+    oyy, oxx = jnp.meshgrid(jnp.arange(msy, dtype=jnp.int32),
+                            jnp.arange(msx, dtype=jnp.int32),
+                            indexing="ij")
+    ox = oxx.reshape(-1, 1)                            # [S, 1]
+    oy = oyy.reshape(-1, 1)
+    tx = x0[None, :] + ox                              # [S, P]
+    ty = y0[None, :] + oy
+    in_span = (ox < sx[None, :]) & (oy < sy[None, :]) & v[None, :]
+    return ty * ntx + tx, in_span
 
 
 def _cull_cols(pre: Preprocessed, opacity: jnp.ndarray) -> jnp.ndarray:
@@ -215,20 +243,16 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     # cache (mapper binning_refresh_interval).
     msx, msy = cfg.max_span_x, cfg.max_span_y
     sentinel = ntiles * P
-    ox = jnp.arange(msx, dtype=jnp.int32)
-    oy = jnp.arange(msy, dtype=jnp.int32)
-    tx = x0[:, None, None] + ox[None, None, :]        # [P, 1, msx]
-    ty = y0[:, None, None] + oy[None, :, None]        # [P, msy, 1]
-    in_span = (ox[None, None, :] < sx[:, None, None]) & \
-              (oy[None, :, None] < sy[:, None, None]) & v[:, None, None]
-    if opacity is not None:
+    tid, in_span = _candidate_keys(x0, y0, sx, sy, v, ntx, P, msx, msy)
+    if opacity is not None and getattr(cfg, "ellipse_cull", True):
         in_span = _corner_cull(
-            in_span, tx, ty, _cull_cols(pre, opacity)[order],
-            cfg.tile_w, cfg.tile_h)
-    tid = ty * ntx + tx                                # [P, msy, msx]
+            in_span, x0, y0, _cull_cols(pre, opacity)[order],
+            cfg.tile_w, cfg.tile_h, msx, msy)
 
     rank = jnp.arange(P, dtype=jnp.int32)
-    key = jnp.where(in_span, tid * P + rank[:, None, None], sentinel)
+    key = jnp.where(in_span, tid * P + rank[None, :], sentinel)
+    # element order before the FULL sort is irrelevant, so the [S, P]
+    # emission buffer flattens without any transpose back to pair-major
     key = key.reshape(-1)
     if use_pallas_sort:
         import numpy as np
@@ -315,22 +339,19 @@ def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
     v = valid[order]
 
     msx, msy = cfg.max_span_x, cfg.max_span_y
-    ox = jnp.arange(msx, dtype=jnp.int32)
-    oy = jnp.arange(msy, dtype=jnp.int32)
-    tx = x0[:, None, None] + ox[None, None, :]
-    ty = y0[:, None, None] + oy[None, :, None]
-    in_span = (ox[None, None, :] < sx[:, None, None]) & \
-              (oy[None, :, None] < sy[:, None, None]) & v[:, None, None]
-    if opacity is not None:
+    tid, in_span = _candidate_keys(x0, y0, sx, sy, v, ntx, P, msx, msy)
+    if opacity is not None and getattr(cfg, "ellipse_cull", True):
         in_span = _corner_cull(
-            in_span, tx, ty, _cull_cols(pre, opacity)[order],
-            cfg.tile_w, cfg.tile_h)
-    tid = ty * ntx + tx
+            in_span, x0, y0, _cull_cols(pre, opacity)[order],
+            cfg.tile_w, cfg.tile_h, msx, msy)
     rank = jnp.arange(P, dtype=jnp.int32)
-    key = jnp.where(in_span, tid * P + rank[:, None, None], ntiles * P)
+    key = jnp.where(in_span, tid * P + rank[None, :], ntiles * P)
 
-    # bucket rows = contiguous rank blocks
-    rows = key.reshape(n_buckets, -1)
+    # bucket rows = contiguous rank blocks; intra-bucket order before the
+    # per-row sort is irrelevant, so the [S, P] buffer regroups with a
+    # cheap block swap (contiguous P/B-lane runs) instead of a transpose
+    rows = key.reshape(msy * msx, n_buckets, -1).swapaxes(0, 1) \
+        .reshape(n_buckets, -1)
     rows_sorted = jnp.sort(rows, axis=-1)
     kept = rows_sorted[:, :cap_per_bucket]               # [B, cap_b]
 
