@@ -148,11 +148,17 @@ def main():
     # bwd 70.7 vs 73, step 150 vs 144) — the kernels are DMA/row-rate
     # bound, not VPU bound; kept as a knob, default off.
     power_mode = os.environ.get("BENCH_POWER_MODE", "vpu")
+    # rank-block bucketed binning (BucketedBinning): n_buckets
+    # independent sorts of the emission buffer's rank blocks instead of
+    # one flat sort; bucket_cap bounds gathered pairs per bucket
+    # (overflow counted, sentinel-dropped).
+    n_buckets = int(os.environ.get("BENCH_NBUCKETS", "1"))
+    bucket_cap = int(os.environ.get("BENCH_BUCKET_CAP", "8192"))
     cfg = RasterizeConfig(
         tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
         chunk=256, tile_batch=16, backend=backend,
         max_pairs=1 << (16 if smoke else 20), mm_dtype=mm_dtype,
-        power_mode=power_mode)
+        power_mode=power_mode, n_buckets=n_buckets, bucket_cap=bucket_cap)
     opt = OptimizationParams()
 
     if variant == "system":

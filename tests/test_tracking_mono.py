@@ -182,8 +182,9 @@ def test_mono_packets_feed_mapper_contract(mono_seq):
 @pytest.mark.slow
 def test_mono_loop_closure_fires_and_bounds_drift():
     """Monocular loop closing (PnP against the anchor's landmark worlds +
-    SE(3) pose-graph correction): a full revolution closes at least one
-    loop and the up-to-scale ATE does not regress vs loops-off."""
+    Sim(3) essential-graph correction): a full revolution closes at least
+    one loop, the up-to-scale ATE does not regress vs loops-off, and the
+    loop packets carry sane per-KF Sim(3) scales for the mapper."""
     # 4.5 deg/frame: monocular triangulation needs more baseline per KF
     # than RGB-D (the rgbd loop test runs 9 deg/frame)
     ds = SyntheticDataset(n_frames=80, width=320, height=192,
@@ -202,7 +203,13 @@ def test_mono_loop_closure_fires_and_bounds_drift():
         ates[loops] = ate_rmse(traj[:, :3, 3], gt[:, :3, 3])["rmse"]
         if loops:
             loops_fired = fe.n_loop_closures
+            lscales = [p.scale
+                       for op in iter(fe.queue.pop_operation, None)
+                       for p in op.keyframes if p.is_loop_kf]
     assert loops_fired >= 1
+    # the Sim(3) graph ran: loop packets carry finite per-KF scales near
+    # 1 on this low-drift scene (hard bounds only; value is scene noise)
+    assert lscales and all(0.2 < s < 5.0 for s in lscales), lscales[:8]
     # the loop-corrected trajectory is at least as good (strictly better
     # when drift accumulated; equal-ish when mono drift was already tiny)
     assert ates[True] <= ates[False] * 1.05, ates

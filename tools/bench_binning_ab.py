@@ -53,7 +53,7 @@ def main():
     if aniso > 0:  # stretch one axis like post-split stores
         ax = rng.integers(0, 3, size=capacity)
         stretch = rng.uniform(1.0, aniso, size=capacity).astype(np.float32)
-        sc = np.asarray(st.params.scaling)
+        sc = np.array(st.params.scaling)
         sc[np.arange(capacity), ax] += np.log(stretch)
         st = st.replace(params=st.params.replace(scaling=jnp.asarray(sc)))
     view = CameraView.create(np.eye(3, dtype=np.float32),

@@ -76,6 +76,8 @@ def main():
     iters = int(os.environ.get("PROF_ITERS", "8"))
     chunk = int(os.environ.get("PROF_CHUNK", "256"))
     width, height = (320, 192) if smoke else (1200, 680)
+    width = int(os.environ.get("PROF_W", width))
+    height = int(os.environ.get("PROF_H", height))
     n_points = 20_000 if smoke else 200_000
     capacity = 1 << (15 if smoke else 18)
 
