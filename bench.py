@@ -31,6 +31,27 @@ import time
 import numpy as np
 
 
+def steady_state_scale_clamp(st, pts, fx: float):
+    """Clamp fresh knn-init log-scales to the mapper's big-point prune
+    bound (screen radius <= 20 px at each point's own depth): the
+    reference prunes any gaussian beyond size_th=20 once steady state is
+    reached (densifyAndPrune size_th / prune_big_point_after_iter,
+    src/gaussian_mapper.cpp:737-755 + gaussian_model.cpp:806-826), so a
+    converged online-mapping store cannot carry larger footprints. A raw
+    200k knn-init cloud carries ~100 px footprints that no real mapping
+    iteration ever composites AND silently exceeds the 4x8 tile-span
+    caps (121k dropped pairs at 1200x680); with the clamp the bench is
+    span-exact (span_overflow == 0). Measured pair footprint at
+    1200x680: raw 890k -> clamped 531k."""
+    import jax.numpy as jnp
+    z = np.maximum(pts[:, 2], 0.2)
+    smax = np.log((20.0 / 3.0) * z / fx).astype(np.float32)
+    sc = np.array(st.params.scaling)
+    n = pts.shape[0]
+    sc[:n] = np.minimum(sc[:n], smax[:, None])
+    return st.replace(params=st.params.replace(scaling=jnp.asarray(sc)))
+
+
 def _system_variant(width, height, n_points, cfg, refresh, smoke):
     """BENCH_VARIANT=system: tracking + encoder + mapping per frame."""
     import time
@@ -171,6 +192,7 @@ def main():
     pts[:, 2] = rng.uniform(0.5, 8.0, size=n_points).astype(np.float32)
     cols = rng.uniform(size=(n_points, 3)).astype(np.float32)
     st = G.create_from_pcd(pts, cols, capacity=capacity)
+    st = steady_state_scale_clamp(st, pts, fx=600.0)
 
     view = CameraView.create(
         np.eye(3, dtype=np.float32), np.zeros(3, np.float32),

@@ -36,8 +36,14 @@ def mean_sq_dist_to_3nn(points: jnp.ndarray,
     def body(i, out):
         block = jax.lax.dynamic_slice_in_dim(pts, i * chunk, chunk)
         bsq = jax.lax.dynamic_slice_in_dim(sq, i * chunk, chunk)
-        # [chunk, npad] squared distances
-        d2 = bsq[:, None] + sq[None, :] - 2.0 * (block @ pts.T)
+        # [chunk, npad] squared distances. The cross-term matmul MUST run
+        # at HIGHEST precision: the |x|^2+|y|^2-2xy expansion cancels to
+        # ~1e-4-scale nearest-neighbor distances from O(10)-scale terms,
+        # and the TPU's default bf16 matmul passes (abs err ~0.04*|xy|)
+        # wipe them out entirely — measured on axon v5e: device init
+        # scales collapsed to ~half the CPU-exact pair footprint.
+        d2 = bsq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+            block, pts.T, precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(d2, 0.0)
         # exclude self and invalid neighbors
         idx = i * chunk + jnp.arange(chunk)

@@ -56,6 +56,8 @@ def main():
         sc = np.array(st.params.scaling)
         sc[np.arange(capacity), ax] += np.log(stretch)
         st = st.replace(params=st.params.replace(scaling=jnp.asarray(sc)))
+    from bench import steady_state_scale_clamp
+    st = steady_state_scale_clamp(st, pts, fx=600.0)
     view = CameraView.create(np.eye(3, dtype=np.float32),
                              np.zeros(3, np.float32), width, height,
                              fx=600.0, fy=600.0)

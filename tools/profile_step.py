@@ -107,6 +107,9 @@ def main():
              _jnp.zeros(capacity, _jnp.float32),
              _jnp.zeros(capacity, _jnp.float32)], axis=1)
         st = st.replace(params=st.params.replace(scaling=sc))
+    # match the bench's steady-state store model (20 px prune bound)
+    from bench import steady_state_scale_clamp
+    st = steady_state_scale_clamp(st, pts, fx=600.0)
     w2c = np.eye(4, dtype=np.float32)
     view = CameraView.create(w2c[:3, :3], w2c[:3, 3], width, height,
                              fx=600.0, fy=600.0)
