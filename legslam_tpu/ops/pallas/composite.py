@@ -334,8 +334,11 @@ def _take_pairs_bwd(res, cots):
     # so scattering only a static prefix that covers nvalid is EXACT. The
     # scatter engine is row-rate-bound (~40 ns/row), so skipping the
     # sentinel tail saves proportional time (~25% at bench occupancy).
-    # 4 quantized prefix lengths via lax.switch keep shapes static.
-    n_slabs = 4
+    # 8 quantized prefix lengths via lax.switch keep shapes static (was
+    # 4; at the steady-state bench occupancy of ~51% the coarse quanta
+    # rounded 531k valid rows up to a 786k slab — finer quanta scatter
+    # 655k instead, and the extra executables are tiny).
+    n_slabs = 8
     assert n % n_slabs == 0, (n, n_slabs)
     slab = n // n_slabs
 
