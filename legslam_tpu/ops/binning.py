@@ -163,6 +163,34 @@ def _candidate_keys(x0, y0, sx, sy, v, ntx: int, P: int,
     return ty * ntx + tx, in_span
 
 
+def _slab_combos(msy: int, msx: int) -> list[tuple[int, int]]:
+    """Ladder of (ky, kx) span-slot subgrids, each containing the last,
+    ending at the full (msy, msx) grid. bin_gaussians lax.switches over
+    these: the smallest subgrid covering every valid gaussian's clamped
+    span carries ALL non-sentinel candidates, so the candidate pipeline
+    (tile ids + corner cull + key sort) runs on ky*kx rows instead of
+    msy*msx. A converged mapping store (20 px prune bound) spans <= 4x2
+    tiles at 16x128, so the common case sorts 4x fewer keys."""
+    combos = [(1, 1)]
+    ky, kx = 1, 1
+    ratio = max(msy // max(msx, 1), 1)
+    while (ky, kx) != (msy, msx):
+        if ky < msy and (ky < kx * ratio or kx == msx):
+            ky = min(ky * 2, msy)
+        else:
+            kx = min(kx * 2, msx)
+        combos.append((ky, kx))
+    # full-height column variants: a handful of span-y outliers (tile
+    # straddle at the prune bound) must not force the full grid when the
+    # x-span stays narrow — measured 0.6% of a steady-state store at
+    # span_y 5 doubling the sort without these
+    k = 1
+    while k < msx:
+        combos.append((msy, k))
+        k *= 2
+    return sorted(set(combos), key=lambda c: (c[0] * c[1], c[0]))
+
+
 def _cull_cols(pre: Preprocessed, opacity: jnp.ndarray) -> jnp.ndarray:
     """[P, 6] packed columns for _corner_cull (one fused row gather when
     reordered by depth instead of three separate [P, small] gathers)."""
@@ -242,30 +270,70 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     # The flat sort stays; callers amortize it via the per-view binning
     # cache (mapper binning_refresh_interval).
     msx, msy = cfg.max_span_x, cfg.max_span_y
+    S = msy * msx
     sentinel = ntiles * P
-    tid, in_span = _candidate_keys(x0, y0, sx, sy, v, ntx, P, msx, msy)
-    if opacity is not None and getattr(cfg, "ellipse_cull", True):
-        in_span = _corner_cull(
-            in_span, x0, y0, _cull_cols(pre, opacity)[order],
-            cfg.tile_w, cfg.tile_h, msx, msy)
-
     rank = jnp.arange(P, dtype=jnp.int32)
-    key = jnp.where(in_span, tid * P + rank[None, :], sentinel)
-    # element order before the FULL sort is irrelevant, so the [S, P]
-    # emission buffer flattens without any transpose back to pair-major
-    key = key.reshape(-1)
+    cull = opacity is not None and getattr(cfg, "ellipse_cull", True)
+    cc_sorted = _cull_cols(pre, opacity)[order] if cull else None
+
+    def emit(ky: int, kx: int):
+        """Candidate keys + cull + sort over the (ky, kx) span-slot
+        subgrid; [ky*kx*P] sorted keys and the valid-pair count."""
+        tid, isp = _candidate_keys(x0, y0, sx, sy, v, ntx, P, kx, ky)
+        if cull:
+            isp = _corner_cull(isp, x0, y0, cc_sorted,
+                               cfg.tile_w, cfg.tile_h, kx, ky)
+        # element order before the FULL sort is irrelevant, so the [S, P]
+        # emission buffer flattens without any transpose back to
+        # pair-major
+        key = jnp.where(isp, tid * P + rank[None, :], sentinel).reshape(-1)
+        return jnp.sort(key), jnp.sum(isp.astype(jnp.int32))
+
     if use_pallas_sort:
         import numpy as np
         from legslam_tpu.ops.pallas.sort import INT32_MAX, sort_keys
+        tid, in_span = _candidate_keys(x0, y0, sx, sy, v, ntx, P, msx, msy)
+        if cull:
+            in_span = _corner_cull(in_span, x0, y0, cc_sorted,
+                                   cfg.tile_w, cfg.tile_h, msx, msy)
+        key = jnp.where(in_span, tid * P + rank[None, :],
+                        sentinel).reshape(-1)
         n = key.shape[0]
         n_pad = 1 << int(np.ceil(np.log2(max(n, 256))))
         key_padded = jnp.pad(key, (0, n_pad - n),
                              constant_values=int(INT32_MAX))
         key_sorted = sort_keys(key_padded,
                                interpret=cfg.pallas_interpret)[:n]
+        num_valid = jnp.sum(in_span.astype(jnp.int32))
     else:
-        key_sorted = jnp.sort(key)
-    num_valid = jnp.sum(in_span.astype(jnp.int32))
+        # span-slab prefix (same trick as the backward scatter's
+        # slab-skip): switch to the smallest static subgrid of span
+        # slots that covers every valid gaussian's clamped span — the
+        # discarded slot rows are provably all-sentinel (row (oy, ox)
+        # holds a pair only when oy < min(sy, msy) and ox < min(sx,
+        # msx)), so the prefix sort is EXACT while sorting k*P keys
+        # instead of S*P
+        combos = _slab_combos(msy, msx)
+        ky_need = jnp.max(jnp.where(v, jnp.minimum(sy, msy), 0))
+        kx_need = jnp.max(jnp.where(v, jnp.minimum(sx, msx), 0))
+        covered = jnp.stack(
+            [(ky_need <= ky) & (kx_need <= kx) for ky, kx in combos])
+        # first (smallest-area) covering combo; the last always covers
+        idx = jnp.argmax(covered).astype(jnp.int32)
+
+        def make_branch(ky, kx):
+            def f(_):
+                ks, nv = emit(ky, kx)
+                pad = (S - ky * kx) * P
+                if pad:
+                    ks = jnp.concatenate(
+                        [ks, jnp.full((pad,), sentinel, jnp.int32)])
+                return ks, nv
+            return f
+
+        key_sorted, num_valid = jax.lax.switch(
+            idx, [make_branch(ky, kx) for ky, kx in combos],
+            jnp.int32(0))
     # pairs a gaussian would emit beyond the static span cap (the reference
     # never drops pairs — rasterizer_impl.cu:280-320 sizes buffers to
     # num_rendered — so we count what the cap costs us)

@@ -99,10 +99,14 @@ def _tri_prefix(log1m, u, mm_dtype):
     if mm_dtype == "bfloat16":
         hi = log1m.astype(jnp.bfloat16)
         lo = (log1m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(hi, u, (((1,), (0,)), ((), ())),
+        # one [2*npix, chunk] matmul instead of two: identical f32
+        # accumulation per half (bit-exact), but a single MXU dispatch
+        # amortizes the pipeline fill across both halves
+        npix = log1m.shape[0]
+        both = jnp.concatenate([hi, lo], axis=0)
+        acc = jax.lax.dot_general(both, u, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        return acc + jax.lax.dot_general(lo, u, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
+        return acc[:npix] + acc[npix:]
     return jax.lax.dot_general(log1m, u, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
