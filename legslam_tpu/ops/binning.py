@@ -254,13 +254,6 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     span_y = rect.y1 - rect.y0
     valid = pre.mask & (span_x * span_y > 0)
 
-    # gather into depth order
-    x0 = rect.x0[order]
-    y0 = rect.y0[order]
-    sx = span_x[order]
-    sy = span_y[order]
-    v = valid[order]
-
     # emit pairs over the static span cap, then sort the whole emission
     # buffer (P * span, ~90% sentinels). Compact-before-sort was tried
     # twice and measured WORSE on this stack: an 8M-element scatter
@@ -269,24 +262,36 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     # (scalar 1M-gathers from 256k tables are pathologically slow here).
     # The flat sort stays; callers amortize it via the per-view binning
     # cache (mapper binning_refresh_interval).
+    #
+    # The candidate pipeline runs in ORIGINAL gaussian order with the
+    # depth rank looked up per gaussian (rank_of = inverse permutation,
+    # ONE [P] scatter) instead of gathering rect/span/cull columns into
+    # depth order (SIX row-rate-bound [P] gathers, measured 13.6 ms of a
+    # 44 ms binning at bench scale). The emitted key SET is identical —
+    # keys encode (tile, rank) regardless of emission order — so the
+    # sorted output is bit-identical.
     msx, msy = cfg.max_span_x, cfg.max_span_y
     S = msy * msx
     sentinel = ntiles * P
-    rank = jnp.arange(P, dtype=jnp.int32)
+    x0, y0 = rect.x0, rect.y0
+    sx, sy, v = span_x, span_y, valid
+    rank_of = jnp.zeros((P,), jnp.int32).at[order].set(
+        jnp.arange(P, dtype=jnp.int32), unique_indices=True)
     cull = opacity is not None and getattr(cfg, "ellipse_cull", True)
-    cc_sorted = _cull_cols(pre, opacity)[order] if cull else None
+    cull_cols = _cull_cols(pre, opacity) if cull else None
 
     def emit(ky: int, kx: int):
         """Candidate keys + cull + sort over the (ky, kx) span-slot
         subgrid; [ky*kx*P] sorted keys and the valid-pair count."""
         tid, isp = _candidate_keys(x0, y0, sx, sy, v, ntx, P, kx, ky)
         if cull:
-            isp = _corner_cull(isp, x0, y0, cc_sorted,
+            isp = _corner_cull(isp, x0, y0, cull_cols,
                                cfg.tile_w, cfg.tile_h, kx, ky)
         # element order before the FULL sort is irrelevant, so the [S, P]
         # emission buffer flattens without any transpose back to
         # pair-major
-        key = jnp.where(isp, tid * P + rank[None, :], sentinel).reshape(-1)
+        key = jnp.where(isp, tid * P + rank_of[None, :],
+                        sentinel).reshape(-1)
         return jnp.sort(key), jnp.sum(isp.astype(jnp.int32))
 
     if use_pallas_sort:
@@ -294,9 +299,9 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
         from legslam_tpu.ops.pallas.sort import INT32_MAX, sort_keys
         tid, in_span = _candidate_keys(x0, y0, sx, sy, v, ntx, P, msx, msy)
         if cull:
-            in_span = _corner_cull(in_span, x0, y0, cc_sorted,
+            in_span = _corner_cull(in_span, x0, y0, cull_cols,
                                    cfg.tile_w, cfg.tile_h, msx, msy)
-        key = jnp.where(in_span, tid * P + rank[None, :],
+        key = jnp.where(in_span, tid * P + rank_of[None, :],
                         sentinel).reshape(-1)
         n = key.shape[0]
         n_pad = 1 << int(np.ceil(np.log2(max(n, 256))))
@@ -353,8 +358,22 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     # clamps harmlessly (the kernel's in_range mask never reads them), and
     # the backward scatter-add DROPS them — with gid 0 every sentinel pair
     # collided on the same row (sentinel % P == 0), serializing up to
-    # hundreds of thousands of zero-adds in the TPU scatter
-    pair_gid = jnp.where(kk < ntiles * P, order[pair_rank], P)
+    # hundreds of thousands of zero-adds in the TPU scatter.
+    # Chunked lookup with cond-skip (same trick as _chunked_take_raw):
+    # valid keys occupy the sorted prefix, so chunks starting past
+    # num_valid are all-sentinel and skip the row-rate-bound gather.
+    n_chunks = 64 if keep % 64 == 0 else 1
+    rows = keep // n_chunks
+
+    def _one(args):
+        pr, active = args
+        return jax.lax.cond(active, lambda: order[pr],
+                            lambda: jnp.full((rows,), P, jnp.int32))
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * rows
+    gid = jax.lax.map(_one, (pair_rank.reshape(n_chunks, rows),
+                             starts < num_valid)).reshape(keep)
+    pair_gid = jnp.where(kk < ntiles * P, gid, P)
 
     bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * P
     edges = jnp.searchsorted(key_sorted, bounds, side="left").astype(jnp.int32)
