@@ -79,6 +79,7 @@ class GaussianMapper:
                  sensor_type: str = "rgbd",
                  n_views: int = 1,
                  spatial_strips: int = 1,
+                 shard_store: bool = False,
                  mesh=None):
         self.source = source
         self.intr = intrinsics
@@ -146,6 +147,13 @@ class GaussianMapper:
             raise ValueError(
                 f"spatial_strips must be >= 1, got {spatial_strips}")
         self.spatial_strips = spatial_strips
+        # capacity-sharded (FSDP-style) store over the spatial mesh
+        # (parallel/capacity.py): persistent store memory ~1/D per device
+        if shard_store and spatial_strips <= 1:
+            raise ValueError(
+                "shard_store=True needs spatial_strips > 1 (the store "
+                "shards over the strip mesh axis)")
+        self.shard_store = shard_store
         self._mesh = mesh
         if mesh is None and n_views > 1 and spatial_strips > 1:
             # combined ('data', 'strip') 2D mesh when enough devices
@@ -538,9 +546,19 @@ class GaussianMapper:
 
         cys, gt_lf, pads = self._cached(
             (kf.fid, lvl, "spatial_gt"), compute_gt, uses=1 << 30)
+        gather_mesh = None
         if mesh is not None:
-            self.state = sharded.replicate_state(self.state, mesh)
-        binning = self._get_binning_spatial(kf, lvl, view, layout, cys)
+            if self.shard_store:
+                # capacity-sharded (FSDP-style) store: each device owns
+                # capacity / D rows; the step all-gathers the render
+                # working set and keeps Adam/stats sharded
+                from legslam_tpu.parallel import capacity
+                self.state = capacity.shard_state(self.state, mesh)
+                gather_mesh = mesh
+            else:
+                self.state = sharded.replicate_state(self.state, mesh)
+        binning = self._get_binning_spatial(kf, lvl, view, layout, cys,
+                                            gather_mesh)
         return spatial.spatial_train_step(
             self.state, view.world_view, view.full_proj, view.cam_center,
             view.tan_fovx, view.tan_fovy, pads[0], gt_lf, pads[1], pads[2],
@@ -549,10 +567,11 @@ class GaussianMapper:
             width=view.width, height=view.height, h_local=layout.h_local,
             active_sh_degree=self.active_sh_degree, opt=self.opt,
             cfg=self.cfg, include_lang_feat=include_lf,
-            max_per_tile=self.max_per_tile, binning=binning)
+            max_per_tile=self.max_per_tile, binning=binning,
+            gather_mesh=gather_mesh)
 
-    def _get_binning_spatial(self, kf, lvl: int, view, layout, cys
-                             ) -> Optional[tuple]:
+    def _get_binning_spatial(self, kf, lvl: int, view, layout, cys,
+                             gather_mesh=None) -> Optional[tuple]:
         """Cached per-strip binning for (kf, level), same refresh /
         invalidation policy as _get_binning."""
         if self.binning_refresh_interval <= 1:
@@ -568,7 +587,8 @@ class GaussianMapper:
                 width=view.width, height=view.height,
                 h_local=layout.h_local, cfg=self.cfg,
                 max_per_tile=self.max_per_tile,
-                opacity=jax.nn.sigmoid(st.params.opacity[:, 0]))
+                opacity=jax.nn.sigmoid(st.params.opacity[:, 0]),
+                gather_mesh=gather_mesh)
 
         return self._cached((kf.fid, lvl, "spatial"), compute)
 

@@ -85,16 +85,27 @@ def strip_offsets(layout: SpatialLayout, mesh: Mesh | None = None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "cfg", "max_per_tile", "h_local"))
+    static_argnames=("width", "height", "cfg", "max_per_tile", "h_local",
+                     "gather_mesh"))
 def spatial_compute_binning(means3d, scales, quats, valid, world_view,
                             full_proj, tan_fovx, tan_fovy, crop_ys,
                             *, width: int, height: int, h_local: int,
                             cfg: RasterizeConfig, max_per_tile: int = 2048,
-                            opacity=None):
+                            opacity=None, gather_mesh: Mesh | None = None):
     """Per-strip binning cache: vmap of ops.rasterize.compute_binning over
     the strip offsets. Leaves get a leading [n_strips] axis that callers
     keep sharded on the mesh (shard_rows). Activated scales/opacity, like
-    compute_binning."""
+    compute_binning. With gather_mesh (capacity-sharded store,
+    parallel/capacity.py) the per-gaussian inputs are all-gathered first
+    — binning needs the full depth order."""
+    if gather_mesh is not None:
+        rep = NamedSharding(gather_mesh, P())
+        gather = lambda t: jax.lax.with_sharding_constraint(t, rep)  # noqa: E731
+        means3d, scales, quats, valid = map(
+            gather, (means3d, scales, quats, valid))
+        if opacity is not None:
+            opacity = gather(opacity)
+
     def one(cy):
         return compute_binning(
             means3d, scales, quats, valid, world_view, full_proj,
@@ -158,7 +169,8 @@ def _strip_view_loss(params7, valid, world_view, full_proj, cam_center,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "active_sh_degree", "opt", "cfg",
-                     "include_lang_feat", "max_per_tile", "h_local"))
+                     "include_lang_feat", "max_per_tile", "h_local",
+                     "gather_mesh"))
 def spatial_train_step(state: G.GaussianState,
                        world_view, full_proj, cam_center, tan_fovx,
                        tan_fovy, gt_color_pad, gt_lang_feat_pad,
@@ -167,7 +179,8 @@ def spatial_train_step(state: G.GaussianState,
                        *, width: int, height: int, h_local: int,
                        active_sh_degree: int, opt: OptimizationParams,
                        cfg: RasterizeConfig, include_lang_feat: bool = True,
-                       max_per_tile: int = 2048, binning=None):
+                       max_per_tile: int = 2048, binning=None,
+                       gather_mesh: Mesh | None = None):
     """One single-view optimization iteration, tile-row-sharded.
 
     Semantics match mapper/train_step.train_step on the same view exactly
@@ -177,6 +190,13 @@ def spatial_train_step(state: G.GaussianState,
     gaussian like a single-view step. GT tensors come in padded to
     h_padded = n_strips * h_local rows (pad_rows) with mask zero on pad
     rows; `binning` is an optional cached spatial_compute_binning result.
+
+    With gather_mesh set (capacity-sharded store, parallel/capacity.py)
+    the parameter shards pass through a replicated sharding constraint
+    inside the loss: forward = all-gather of the render working set,
+    transpose = gradients routed back toward the owner shards, and the
+    Adam/stat updates stay sharded. Semantically the identity — outputs
+    match the replicated-store step exactly.
     """
     p = state.params
     H_pad = gt_color_pad.shape[0]
@@ -185,13 +205,24 @@ def spatial_train_step(state: G.GaussianState,
     # one shared offset, like the single-view step: strip mean2d grads sum
     # into the exact single-view screen-space grad (strips partition pixels)
     offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+    if gather_mesh is not None:
+        rep = NamedSharding(gather_mesh, P())
+        gather = lambda t: jax.lax.with_sharding_constraint(t, rep)  # noqa: E731
+        valid_full = gather(state.valid)
+    else:
+        gather = lambda t: t  # noqa: E731
+        valid_full = state.valid
 
     def loss_fn(xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation,
                 mean2d_offset):
+        (xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation,
+         mean2d_offset) = map(gather, (xyz, f_dc, f_rest, lang_feat,
+                                       opacity, scaling, rotation,
+                                       mean2d_offset))
         loss, color, depth, radii_s, num_rendered, overflow = \
             _strip_view_loss(
                 (xyz, f_dc, f_rest, lang_feat, opacity, scaling,
-                 rotation), state.valid, world_view, full_proj,
+                 rotation), valid_full, world_view, full_proj,
                 cam_center, tan_fovx, tan_fovy, gt_color_pad,
                 gt_lang_feat_pad, gt_depth_pad, mask_pad, bg, crop_ys,
                 mean2d_offset, binning, width=width, height=height,
