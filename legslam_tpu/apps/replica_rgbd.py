@@ -65,6 +65,12 @@ def main(argv=None):
     parser.add_argument("--spatial-strips", type=int, default=1,
                         help="tile-row strips per view (multi-chip mesh "
                              "axis; parallel/spatial.py)")
+    parser.add_argument("--shard-store", action="store_true",
+                        help="capacity-shard (FSDP-style) the gaussian "
+                             "store over the strip mesh axis — each "
+                             "device owns capacity/D rows "
+                             "(parallel/capacity.py; needs "
+                             "--spatial-strips > 1)")
     parser.add_argument("--binning-refresh", type=int, default=4,
                         help="per-view binning cache interval (1 = exact)")
     parser.add_argument("--profile-dir", default=None,
@@ -133,6 +139,7 @@ def main(argv=None):
                             binning_refresh_interval=args.binning_refresh,
                             n_views=args.n_views,
                             spatial_strips=args.spatial_strips,
+                            shard_store=args.shard_store,
                             sensor_type="monocular" if base_sensor == "mono"
                             else base_sensor)
 
