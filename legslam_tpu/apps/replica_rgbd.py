@@ -54,6 +54,15 @@ def main(argv=None):
     parser.add_argument("--max-per-tile", type=int, default=2048,
                         help="per-tile compositing cap (xla backend)")
     parser.add_argument("--tile-batch", type=int, default=32)
+    parser.add_argument("--chunk", type=int, default=None,
+                        help="compositing depth-chunk size (default: "
+                             "RasterizeConfig.chunk; small scenes can "
+                             "drop to 64)")
+    parser.add_argument("--max-span-x", type=int, default=None)
+    parser.add_argument("--max-span-y", type=int, default=None,
+                        help="static per-gaussian tile-span caps "
+                             "(pairs beyond them are dropped and counted "
+                             "in overflow_pairs)")
     parser.add_argument("--backend", default=None,
                         help="override compositing backend (xla|pallas)")
     parser.add_argument("--mm-dtype", default=None,
@@ -94,8 +103,11 @@ def main(argv=None):
     # bf16 MXU inputs by default on the kernel path: measured color max err
     # 4e-3, grad cos 0.999997 vs exact f32 (tests/test_mm_dtype.py)
     mm = args.mm_dtype or ("bfloat16" if backend == "pallas" else "float32")
+    extra = {k: v for k, v in (("chunk", args.chunk),
+                               ("max_span_x", args.max_span_x),
+                               ("max_span_y", args.max_span_y)) if v}
     cfg = RasterizeConfig(backend=backend, tile_batch=args.tile_batch,
-                          mm_dtype=mm)
+                          mm_dtype=mm, **extra)
     opt = mp = None
     cam_intr = None
     if args.cfg:
