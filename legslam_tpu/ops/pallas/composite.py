@@ -91,6 +91,45 @@ def _power_mm(basis, coef):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _sep_power(gx, gy, ca, cb, cc, xs, ys, tile_h, tile_w, mode):
+    """Separable evaluation of the [npix, chunk] Gaussian exponent.
+
+    power(p, g) = -.5*ca*dx^2 - .5*cc*dy^2 - cb*dx*dy (the per-thread
+    quadratic of forward.cu:340-350) depends on the pixel only through
+    x(p) = p % tile_w and y(p) = p // tile_w, so the x-only factors are
+    computed at [tile_w, chunk] (16x cheaper than the flat [npix, chunk]
+    chain) and the y-only ones at [tile_h, chunk] (128x cheaper); the
+    cross term is rank-1 in (x, y). Only the final combine runs at full
+    [npix, chunk] size — ~3 VPU ops (+broadcast copies in "sep" mode)
+    instead of the naive 11-op chain, which is the kernels' dominant VPU
+    cost at bench shapes.
+
+    xs/ys are [tile_w, 1] / [tile_h, 1] f32 coordinate columns in "sep3"
+    mode; in "sep" mode ys is instead the flat [npix, 1] global py column.
+    "sep3" factors BOTH axes and combines via 3-D broadcasting
+    ([tile_h, tile_w, chunk], collapsed afterwards; ~3 full-size ops);
+    "sep" factors only x — whose broadcast is a supported sublane-tile
+    concat (x varies with period tile_w along the flat pixel axis) — and
+    keeps the y direction elementwise via Horner in dy (~7 full-size ops;
+    the y-broadcast would need an element-repeat Mosaic doesn't provide).
+    """
+    fx = gx - xs                        # [tile_w, chunk]
+    termx = (-0.5 * ca) * (fx * fx)
+    bfx = cb * fx
+    if mode == "sep3":
+        fy = gy - ys                    # [tile_h, chunk]
+        termy = (-0.5 * cc) * (fy * fy)
+        p3 = (termx[None] + termy[:, None]) - bfx[None] * fy[:, None]
+        return p3.reshape(tile_h * tile_w, gx.shape[1])
+    # "sep": power = termx(x) - (bfx(x) + 0.5*cc*dy) * dy; derive the
+    # tile count from the flat py column (callers pass [npix, 1] ys here)
+    n_rows = ys.shape[0] // xs.shape[0]
+    termx_t = jnp.concatenate([termx] * n_rows, axis=0)   # [npix, chunk]
+    bfx_t = jnp.concatenate([bfx] * n_rows, axis=0)
+    dy = gy - ys                        # ys = flat py: [npix, chunk]
+    return termx_t - (bfx_t + (0.5 * cc) * dy) * dy
+
+
 def _tri_prefix(log1m, u, mm_dtype):
     """log1m @ triangular-ones. The prefix feeds exp(), so input
     quantization error compounds into the transmittance; under bf16 we
@@ -127,6 +166,14 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
         basis = _power_basis(pix_lin, tile_w, tile_h)
         cx = tx + (tile_w - 1) * 0.5   # tile-centered frame origin
         cy = ty + (tile_h - 1) * 0.5
+    elif power_mode in ("sep", "sep3"):
+        xs = (tx + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_w, 1), 0)).astype(jnp.float32)
+        if power_mode == "sep3":
+            ys = (ty + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, 1), 0)).astype(jnp.float32)
+        else:   # "sep" keeps the y direction elementwise (flat py)
+            ys = (ty + pix_lin // tile_w).astype(jnp.float32)
     else:
         px = (tx + pix_lin % tile_w).astype(jnp.float32)
         py = (ty + pix_lin // tile_w).astype(jnp.float32)
@@ -186,6 +233,9 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
                 if power_mode == "mxu":
                     power = _power_mm(
                         basis, _power_coef(gx - cx, gy - cy, ca, cb, cc))
+                elif power_mode in ("sep", "sep3"):
+                    power = _sep_power(gx, gy, ca, cb, cc, xs, ys,
+                                       tile_h, tile_w, power_mode)
                 else:
                     dx = gx - px          # [npix, chunk]
                     dy = gy - py
@@ -194,11 +244,19 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
 
                 lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
                 pos = off + lane
+                # window-mask folded into the [1, chunk] opacity row (a
+                # full-size `& in_range` on keep costs a [npix, chunk] op;
+                # op == 0 already forces alpha < ALPHA_MIN => keep False)
                 in_range = (pos >= start) & (pos < (start + count))
+                opm = jnp.where(in_range, op, 0.0)
 
-                alpha = op * jnp.exp(jnp.minimum(power, 0.0))
+                # no min(power, 0) guard: power > 0 rows are killed by the
+                # keep mask below, and the inf/NaN that op*exp(power) can
+                # produce there never escapes the where (NaN compares
+                # False, jnp.where selects 0)
+                alpha = opm * jnp.exp(power)
                 alpha = jnp.minimum(alpha, ALPHA_MAX)
-                keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
+                keep = (power <= 0.0) & (alpha >= ALPHA_MIN)
                 alpha = jnp.where(keep, alpha, 0.0)
 
                 log1m = jnp.log1p(-alpha)

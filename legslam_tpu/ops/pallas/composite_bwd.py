@@ -43,6 +43,7 @@ from legslam_tpu.ops.pallas.composite import (
     _power_basis,
     _power_coef,
     _power_mm,
+    _sep_power,
     composite_tiles_pallas,
 )
 
@@ -67,17 +68,26 @@ def _alpha_terms(geo, px, py, start, count, off, chunk, *,
         gx = gx - cx
         gy = gy - cy
         power = _power_mm(basis, _power_coef(gx, gy, ca, cb, cc))
+    elif power_mode in ("sep", "sep3"):
+        # sep mode passes the factored coordinate columns: px = xs
+        # [tile_w, 1], py = ys [tile_h, 1]
+        power = _sep_power(gx, gy, ca, cb, cc, px, py, py.shape[0],
+                           px.shape[0], power_mode)
     else:
         dx = gx - px
         dy = gy - py
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     pos = off + lane
+    # window-mask folded into the [1, chunk] opacity row (see the forward
+    # kernel): op == 0 forces alpha < ALPHA_MIN => keep False, and every
+    # gradient below is gated on keep/dpower == 0
     in_range = (pos >= start) & (pos < (start + count))
+    op = jnp.where(in_range, op, 0.0)
     g_exp = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * g_exp
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
-    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(keep, alpha, 0.0)
     return dict(gx=gx, gy=gy, ca=ca, cb=cb, cc=cc, op=op,
                 g_exp=g_exp, alpha=alpha, keep=keep)
@@ -106,11 +116,23 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
         cx = tx + (tile_w - 1) * 0.5
         cy = ty + (tile_h - 1) * 0.5
     else:
-        px = (tx + pix_lin % tile_w).astype(jnp.float32)
-        py = (ty + pix_lin // tile_w).astype(jnp.float32)
+        pxf = (tx + pix_lin % tile_w).astype(jnp.float32)
+        pyf = (ty + pix_lin // tile_w).astype(jnp.float32)
+        # the moment basis always uses the flat global pixel coordinates;
+        # sep mode additionally hands _alpha_terms the factored coordinate
+        # columns (xs [tile_w, 1], ys [tile_h, 1]) in the px/py slots
         basis = jnp.concatenate(
-            [jnp.ones_like(px), px, py, px * px, py * py, px * py,
-             jnp.zeros((npix, 2), jnp.float32)], axis=1)
+            [jnp.ones_like(pxf), pxf, pyf, pxf * pxf, pyf * pyf,
+             pxf * pyf, jnp.zeros((npix, 2), jnp.float32)], axis=1)
+        if power_mode in ("sep", "sep3"):
+            px = (tx + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_w, 1), 0)).astype(jnp.float32)
+            # "sep3" factors y too; "sep" keeps y elementwise (flat py)
+            py = pyf if power_mode == "sep" else \
+                (ty + jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, 1), 0)).astype(jnp.float32)
+        else:
+            px, py = pxf, pyf
         cx = cy = None
 
     gout = gout_ref[0]            # [npix, C]
@@ -246,7 +268,9 @@ def _backward_kernel(tile_start, tile_count, geo_hbm, feats_hbm,
             incl = s_prefix + _mm(q, uincl[:], mm_dtype)
             s_k = stot - incl                           # suffix sum, [npix, chunk]
 
-            one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+            # alpha <= ALPHA_MAX by construction, so 1 - alpha >= 0.01:
+            # no clamp needed before the divide
+            one_minus = 1.0 - alpha
             dalpha = jnp.where(contrib, dw * t_exc, 0.0) \
                 - (s_k + jnp.where(contrib, gt_term, 0.0)) / one_minus
             # skips zero the gradient entirely (hard masks)

@@ -69,8 +69,35 @@ def _run(scene, power_mode):
 
 
 @pytest.fixture(scope="module")
-def both(scene):
-    return _run(scene, "vpu"), _run(scene, "mxu")
+def vpu_run(scene):
+    return _run(scene, "vpu")
+
+
+@pytest.fixture(scope="module")
+def both(scene, vpu_run):
+    return vpu_run, _run(scene, "mxu")
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("mode", ["sep", "sep3"])
+def test_sep_modes_near_exact(scene, vpu_run, mode):
+    """power_mode="sep"/"sep3" evaluates the SAME f32 quadratic with the
+    x/y terms factored out of the [npix, chunk] plane — only float
+    reassociation differs, so outputs must match the VPU chain to ~f32
+    rounding (vs the mxu mode's 1e-3-class expansion error)."""
+    ov, gv, lv = vpu_run
+    os_, gs, ls = _run(scene, mode)
+    assert np.abs(np.asarray(os_.color) - np.asarray(ov.color)).max() < 1e-4
+    assert np.abs(np.asarray(os_.lang_feat)
+                  - np.asarray(ov.lang_feat)).max() < 3e-4
+    assert np.abs(np.asarray(os_.final_t)
+                  - np.asarray(ov.final_t)).max() < 1e-4
+    assert np.abs(np.asarray(os_.depth) - np.asarray(ov.depth)).max() < 1e-3
+    assert abs(ls - lv) / abs(lv) < 1e-5
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gv)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30) < 1e-3
 
 
 def test_forward_close(both):
