@@ -163,23 +163,29 @@ def main():
     # vs exact f32): color max err 4e-3, grad cosine 0.999997, transmittance
     # exact (hi/lo prefix split) — far below mapping-convergence noise
     mm_dtype = os.environ.get("BENCH_MM_DTYPE", "bfloat16")
-    # MXU-basis gaussian-exponent evaluation (quality pinned in
+    # Gaussian-exponent evaluation (quality pinned in
     # tests/test_power_mode.py, same contract shape as mm_dtype).
-    # Measured NEUTRAL-to-slightly-worse on v5e (fwd 57.5 vs 52 ms,
-    # bwd 70.7 vs 73, step 150 vs 144) — the kernels are DMA/row-rate
-    # bound, not VPU bound; kept as a knob, default off.
-    power_mode = os.environ.get("BENCH_POWER_MODE", "vpu")
+    # "sep3" factors the quadratic's x/y terms out of the [npix, chunk]
+    # plane (exact to f32 reassociation; measured 640x480 v5e:
+    # fwd 13.3 vs 14.9 ms, bwd 20.5 vs 21.3, step_cached 61.3 vs 63.7).
+    # "mxu" (one [npix,8]@[8,chunk] matmul) measured neutral-to-worse
+    # (step 150 vs 144) — kept as a knob.
+    power_mode = os.environ.get("BENCH_POWER_MODE", "sep3")
     # rank-block bucketed binning (BucketedBinning): n_buckets
     # independent sorts of the emission buffer's rank blocks instead of
     # one flat sort; bucket_cap bounds gathered pairs per bucket
     # (overflow counted, sentinel-dropped).
     n_buckets = int(os.environ.get("BENCH_NBUCKETS", "1"))
     bucket_cap = int(os.environ.get("BENCH_BUCKET_CAP", "8192"))
+    # watermark slab-skip of the P-bound segments (preprocess/SH/adam/
+    # stats; ops/slabs.py) — exact; skips the dead capacity tail
+    p_slabs = int(os.environ.get("BENCH_P_SLABS", "16"))
     cfg = RasterizeConfig(
         tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
         chunk=256, tile_batch=16, backend=backend,
         max_pairs=1 << (16 if smoke else 20), mm_dtype=mm_dtype,
-        power_mode=power_mode, n_buckets=n_buckets, bucket_cap=bucket_cap)
+        power_mode=power_mode, n_buckets=n_buckets, bucket_cap=bucket_cap,
+        p_slabs=p_slabs)
     opt = OptimizationParams()
 
     if variant == "system":

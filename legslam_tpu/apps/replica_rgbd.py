@@ -103,11 +103,16 @@ def main(argv=None):
     # bf16 MXU inputs by default on the kernel path: measured color max err
     # 4e-3, grad cos 0.999997 vs exact f32 (tests/test_mm_dtype.py)
     mm = args.mm_dtype or ("bfloat16" if backend == "pallas" else "float32")
+    # separable exponent evaluation on the kernel path: exact to f32
+    # reassociation (tests/test_power_mode.py::test_sep_modes_near_exact),
+    # ~2.4 ms/step faster than the per-element VPU chain at 640x480
+    pm = "sep3" if backend == "pallas" else "vpu"
     extra = {k: v for k, v in (("chunk", args.chunk),
                                ("max_span_x", args.max_span_x),
                                ("max_span_y", args.max_span_y)) if v}
     cfg = RasterizeConfig(backend=backend, tile_batch=args.tile_batch,
-                          mm_dtype=mm, **extra)
+                          mm_dtype=mm, power_mode=pm,
+                          p_slabs=16 if backend == "pallas" else 0, **extra)
     opt = mp = None
     cam_intr = None
     if args.cfg:

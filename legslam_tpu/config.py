@@ -173,13 +173,23 @@ class RasterizeConfig:
     # per-bucket pair capacity (multiple of chunk); only used when
     # n_buckets > 1. Total gathered pairs = n_buckets * bucket_cap.
     bucket_cap: int = 1 << 16
+    # Watermark slab-skip of P-bound per-gaussian ops (preprocess + SH +
+    # feature assembly, and — via train_step — Adam + densify stats): run
+    # slab-by-slab under lax.map and skip slabs entirely above the live-row
+    # watermark (ops/slabs.py). EXACT (live slots are allocated
+    # lowest-free-first; rows above the watermark are invalid with zero
+    # moments/grads). 0 = off; 16 = the device default (capacity must be
+    # divisible, else silently full-compute).
+    p_slabs: int = 0
     # Gaussian-exponent evaluation in the pallas kernels: "vpu" (exact;
-    # the parity oracle: per-element quadratic form on the VPU) or "mxu"
-    # (the [npix, chunk] power plane as ONE [npix, 8] @ [8, chunk] MXU
-    # matmul over a tile-centered quadratic pixel basis — removes the
-    # kernels' dominant per-element VPU chain; worst-case exponent error
-    # ~1e-3 for lowpass-clamped gaussians, quality pinned in
-    # tests/test_power_mode.py).
+    # the parity oracle: per-element quadratic form on the VPU), "sep" /
+    # "sep3" (separable factoring of the quadratic's x-only / x-and-y
+    # terms out of the [npix, chunk] plane — identical math, only float
+    # reassociation differs; the fast default on device), or "mxu" (the
+    # [npix, chunk] power plane as ONE [npix, 8] @ [8, chunk] MXU matmul
+    # over a tile-centered quadratic pixel basis; worst-case exponent
+    # error ~1e-3 for lowpass-clamped gaussians). Quality pinned in
+    # tests/test_power_mode.py.
     power_mode: str = "vpu"
     # MXU input dtype for the pallas compositing matmuls and the pair
     # feature store: "float32" (exact; the parity oracle) or "bfloat16"

@@ -107,18 +107,24 @@ def train_step(state: G.GaussianState,
         opacity=grads[4], scaling=grads[5], rotation=grads[6])
     mean2d_grad_pix = grads[7]
 
-    # zero grads of invalid slots so their Adam moments only decay
-    g_params = jax.tree.map(
-        lambda g: jnp.where(
-            state.valid[(...,) + (None,) * (g.ndim - 1)], g, 0.0), g_params)
+    # zero grads of invalid slots so their Adam moments only decay; under
+    # the watermark slab-skip (cfg.p_slabs) the zeroing is fused into the
+    # adam pass instead of a separate full-capacity read+write
+    ps = getattr(cfg, "p_slabs", 0)
+    if not ps:
+        g_params = jax.tree.map(
+            lambda g: jnp.where(
+                state.valid[(...,) + (None,) * (g.ndim - 1)], g, 0.0),
+            g_params)
 
     # densification stats in the reference's NDC convention
     ndc_scale = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
     state = G.add_densification_stats(
-        state, mean2d_grad_pix * ndc_scale[None, :], radii)
+        state, mean2d_grad_pix * ndc_scale[None, :], radii, n_slabs=ps)
 
     lrs = make_lrs(opt, spatial_lr_scale, position_lr_step)
-    state = G.adam_update(state, g_params, lrs)
+    state = G.adam_update(state, g_params, lrs, n_slabs=ps,
+                          zero_invalid=bool(ps))
 
     m = mask if mask.ndim == 2 else mask[..., 0]
     psnr = losses.psnr(color * m[..., None], gt_color * m[..., None])

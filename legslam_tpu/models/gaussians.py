@@ -114,12 +114,19 @@ def _zeros_params(capacity: int) -> GaussianParams:
 
 
 def empty(capacity: int) -> GaussianState:
+    params = _zeros_params(capacity)
+    # moments must start at TRUE zero (torch.optim.Adam exp_avg init) —
+    # _zeros_params' identity-quat default (w=1) is only for the params;
+    # it leaking into adam_m/v would bias the first rotation updates and
+    # break the zero-moments-on-invalid-rows invariant the watermark
+    # slab-skip (ops/slabs.py) rests on
+    zero_mom = jax.tree.map(jnp.zeros_like, params)
     return GaussianState(
-        params=_zeros_params(capacity),
+        params=params,
         valid=jnp.zeros((capacity,), bool),
         exist_since=jnp.zeros((capacity,), jnp.int32),
-        adam_m=_zeros_params(capacity),
-        adam_v=_zeros_params(capacity),
+        adam_m=zero_mom,
+        adam_v=zero_mom,
         adam_step=jnp.zeros((), jnp.int32),
         stats=DensifyStats(
             grad_accum=jnp.zeros((capacity,), jnp.float32),
@@ -237,19 +244,26 @@ def increase_pcd(state: GaussianState, points: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def adam_update(state: GaussianState, grads: GaussianParams,
-                lrs: dict[str, Any]) -> GaussianState:
+                lrs: dict[str, Any], n_slabs: int = 0,
+                zero_invalid: bool = False) -> GaussianState:
     """One Adam step over all 7 groups with per-group learning rates.
 
     Matches torch.optim.Adam: m,v EMA + bias correction, denom =
     sqrt(v/bc2) + eps, update = lr/bc1 * m/denom. Invalid slots receive
-    zero grads upstream, so their moments only decay.
+    zero grads upstream (or via zero_invalid=True, fused into this pass),
+    so their moments only decay.
+
+    n_slabs > 0: watermark slab-skip (ops/slabs.py) — EXACT because rows
+    above the live watermark are invalid with zero moments (zeroed on
+    prune surgery / fresh allocation) and zero grads, i.e. fixed points
+    of the update.
     """
     step = state.adam_step + 1
     t = step.astype(jnp.float32)
     bc1 = 1.0 - ADAM_B1 ** t
     bc2 = 1.0 - ADAM_B2 ** t
 
-    def upd(p, g, m, v, lr):
+    def upd(p, g, m, v, lr, valid):
         # flatten: [P, 3]-shaped arrays waste 125/128 VPU lanes; the update
         # is elementwise so 1-D layout is ~16x faster on TPU (measured).
         # NOTE a single concatenated flat update over all 7 groups was
@@ -257,6 +271,8 @@ def adam_update(state: GaussianState, grads: GaussianParams,
         # reshape chain into a [total/3, 3]{T(8,128)} temp (42.7x layout
         # padding, 28.9 GB). Per-group flat is the proven form.
         shape = p.shape
+        if valid is not None:
+            g = jnp.where(valid[(...,) + (None,) * (g.ndim - 1)], g, 0.0)
         p, g, m, v = (a.reshape(-1) for a in (p, g, m, v))
         m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
         v = ADAM_B2 * v + (1.0 - ADAM_B2) * g * g
@@ -266,11 +282,27 @@ def adam_update(state: GaussianState, grads: GaussianParams,
 
     names = ("xyz", "f_dc", "f_rest", "lang_feat", "opacity", "scaling",
              "rotation")
-    new_p, new_m, new_v = {}, {}, {}
-    for name in names:
-        p, g = getattr(state.params, name), getattr(grads, name)
-        m, v = getattr(state.adam_m, name), getattr(state.adam_v, name)
-        new_p[name], new_m[name], new_v[name] = upd(p, g, m, v, lrs[name])
+
+    def run(a):
+        out_p, out_m, out_v = {}, {}, {}
+        for name in names:
+            out_p[name], out_m[name], out_v[name] = upd(
+                a["p"][name], a["g"][name], a["m"][name], a["v"][name],
+                lrs[name], a["valid"] if zero_invalid else None)
+        return out_p, out_m, out_v
+
+    args = dict(p={n: getattr(state.params, n) for n in names},
+                g={n: getattr(grads, n) for n in names},
+                m={n: getattr(state.adam_m, n) for n in names},
+                v={n: getattr(state.adam_v, n) for n in names},
+                valid=state.valid)
+    if n_slabs and state.capacity % n_slabs == 0:
+        from legslam_tpu.ops.slabs import prefix_map, watermark
+        new_p, new_m, new_v = prefix_map(
+            run, lambda a: (a["p"], a["m"], a["v"]), args,
+            watermark(state.valid), n_slabs)
+    else:
+        new_p, new_m, new_v = run(args)
     return state.replace(
         params=GaussianParams(**new_p), adam_m=GaussianParams(**new_m),
         adam_v=GaussianParams(**new_v), adam_step=step)
@@ -302,19 +334,34 @@ def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: int = 0,
 # ---------------------------------------------------------------------------
 
 def add_densification_stats(state: GaussianState, mean2d_grad: jnp.ndarray,
-                            radii: jnp.ndarray) -> GaussianState:
+                            radii: jnp.ndarray,
+                            n_slabs: int = 0) -> GaussianState:
     """Accumulate ||dL/dmean2D.xy||2 and visit counts for visible gaussians
     (radii > 0), and the running max screen radius
-    (gaussian_model.cpp:834-847, gaussian_mapper.cpp:739-747)."""
-    visible = radii > 0
-    norm = jnp.linalg.norm(mean2d_grad[:, :2], axis=-1)
-    stats = DensifyStats(
-        grad_accum=state.stats.grad_accum + jnp.where(visible, norm, 0.0),
-        denom=state.stats.denom + visible.astype(jnp.float32),
-        max_radii2d=jnp.maximum(state.stats.max_radii2d,
-                                jnp.where(visible, radii.astype(jnp.float32),
-                                          0.0)),
-    )
+    (gaussian_model.cpp:834-847, gaussian_mapper.cpp:739-747).
+
+    n_slabs > 0: watermark slab-skip — EXACT: rows above the watermark are
+    invalid, render with radius 0 (not visible), so their stats rows are
+    fixed points of the accumulation."""
+
+    def run(a):
+        visible = a["radii"] > 0
+        norm = jnp.linalg.norm(a["mg"][:, :2], axis=-1)
+        return DensifyStats(
+            grad_accum=a["stats"].grad_accum + jnp.where(visible, norm, 0.0),
+            denom=a["stats"].denom + visible.astype(jnp.float32),
+            max_radii2d=jnp.maximum(
+                a["stats"].max_radii2d,
+                jnp.where(visible, a["radii"].astype(jnp.float32), 0.0)),
+        )
+
+    args = dict(stats=state.stats, mg=mean2d_grad, radii=radii)
+    if n_slabs and state.capacity % n_slabs == 0:
+        from legslam_tpu.ops.slabs import prefix_map, watermark
+        stats = prefix_map(run, lambda a: a["stats"], args,
+                           watermark(state.valid), n_slabs)
+    else:
+        stats = run(args)
     return state.replace(stats=stats)
 
 

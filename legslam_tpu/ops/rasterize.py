@@ -32,9 +32,27 @@ from legslam_tpu.ops.binning import (Binning, bin_gaussians,
     bin_gaussians_bucketed)
 from legslam_tpu.ops.composite import blend_weights, masked_alpha
 from legslam_tpu.ops.projection import Preprocessed, preprocess
+from legslam_tpu.ops.slabs import prefix_map, watermark
 from legslam_tpu.utils.camera import CameraView
 from legslam_tpu.utils.sh import sh_to_color
 from legslam_tpu.utils.transforms import normalize_quat
+
+
+def _pre_skip_out(n: int, extra_cols: int | None = None):
+    """Inert Preprocessed rows for watermark-skipped slabs: mask False and
+    radius 0 exclude them from binning/stats; mean2d -1e6 with a unit
+    conic is defense-in-depth (any accidental consumer sees power ~ -1e12,
+    alpha 0). Matches what live code produces for culled rows downstream.
+    """
+    pre = Preprocessed(
+        mean2d=jnp.full((n, 2), -1e6, jnp.float32),
+        conic=jnp.tile(jnp.asarray([[1.0, 0.0, 1.0]], jnp.float32), (n, 1)),
+        depth=jnp.zeros((n,), jnp.float32),
+        radius=jnp.zeros((n,), jnp.int32),
+        mask=jnp.zeros((n,), bool))
+    if extra_cols is None:
+        return pre
+    return pre, jnp.zeros((n, extra_cols), jnp.float32)
 
 
 class RasterizeOutput(NamedTuple):
@@ -194,10 +212,21 @@ def compute_binning(means3d: jnp.ndarray, scales: jnp.ndarray,
     the pixel-row strip [crop_y, crop_y+crop_h) — see render_arrays."""
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
-    pre = preprocess(
-        means3d, scales, normalize_quat(quats), valid, world_view,
-        full_proj, width, height, focal_x, focal_y, tan_fovx, tan_fovy,
-        scale_modifier)
+
+    def run_pre(a):
+        return preprocess(
+            a["xyz"], a["scales"], normalize_quat(a["quats"]), a["valid"],
+            world_view, full_proj, width, height, focal_x, focal_y,
+            tan_fovx, tan_fovy, scale_modifier)
+
+    args = dict(xyz=means3d, scales=scales, quats=quats, valid=valid)
+    ps = getattr(cfg, "p_slabs", 0)
+    if ps and means3d.shape[0] % ps == 0:
+        pre = prefix_map(run_pre,
+                         lambda a: _pre_skip_out(a["valid"].shape[0]),
+                         args, watermark(valid), ps)
+    else:
+        pre = run_pre(args)
     pre, height = _apply_crop(pre, crop_y, crop_h, height)
     return make_binning(pre, width, height, cfg, max_per_tile,
                         opacity=opacity)
@@ -234,29 +263,53 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
     tile rect at the strip edge, so the static span cap truncates less)."""
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
-    quats = normalize_quat(quats)
-    pre = preprocess(
-        means3d, scales, quats, valid, world_view, full_proj,
-        width, height, focal_x, focal_y, tan_fovx, tan_fovy, scale_modifier)
+    n_feat = 3 + (lang_feat.shape[-1] if include_lang_feat else 0) + 1
+
+    def pre_feats(a):
+        """Rowwise per-gaussian prologue: preprocess + SH eval + the fused
+        feature matrix. One region so the watermark slab-skip (cfg.p_slabs)
+        covers every P-bound op in a single lax.map pass."""
+        pre = preprocess(
+            a["xyz"], a["scales"], normalize_quat(a["quats"]), a["valid"],
+            world_view, full_proj, width, height, focal_x, focal_y,
+            tan_fovx, tan_fovy, scale_modifier)
+        if "offset" in a:
+            pre = pre._replace(mean2d=pre.mean2d + a["offset"])
+        if "colors" in a:
+            rgb = a["colors"]
+        else:
+            rgb = sh_to_color(active_sh_degree, a["sh"], a["xyz"],
+                              cam_center)
+        # The reference accumulates dL/ddepth per gaussian but never
+        # applies it to means (backward.cu:573-580 vs preprocess);
+        # stop_depth_grad=True replicates that dead-end. The
+        # alpha-coupling path is unaffected.
+        depth_const = jax.lax.stop_gradient(pre.depth) if stop_depth_grad \
+            else pre.depth
+        parts = [rgb]
+        if include_lang_feat:
+            parts.append(a["lang_feat"])
+        parts.append(depth_const[:, None])
+        return pre, jnp.concatenate(parts, axis=-1)
+
+    args = dict(xyz=means3d, scales=scales, quats=quats, valid=valid)
     if mean2d_offset is not None:
-        pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
-    pre, height = _apply_crop(pre, crop_y, crop_h, height)
-
+        args["offset"] = mean2d_offset
     if colors_precomp is not None:
-        rgb = colors_precomp
+        args["colors"] = colors_precomp
     else:
-        rgb = sh_to_color(active_sh_degree, sh, means3d, cam_center)
-
-    # The reference accumulates dL/ddepth per gaussian but never applies it
-    # to means (backward.cu:573-580 vs preprocess); stop_depth_grad=True
-    # replicates that dead-end. The alpha-coupling path is unaffected.
-    depth_const = jax.lax.stop_gradient(pre.depth) if stop_depth_grad \
-        else pre.depth
-    parts = [rgb]
+        args["sh"] = sh
     if include_lang_feat:
-        parts.append(lang_feat)
-    parts.append(depth_const[:, None])
-    feats = jnp.concatenate(parts, axis=-1)
+        args["lang_feat"] = lang_feat
+    ps = getattr(cfg, "p_slabs", 0)
+    if ps and means3d.shape[0] % ps == 0:
+        pre, feats = prefix_map(
+            pre_feats,
+            lambda a: _pre_skip_out(a["valid"].shape[0], n_feat),
+            args, watermark(valid), ps)
+    else:
+        pre, feats = pre_feats(args)
+    pre, height = _apply_crop(pre, crop_y, crop_h, height)
 
     if binning is None:
         binning, overflow = make_binning(pre, width, height, cfg,

@@ -50,19 +50,29 @@ def test_adam_matches_torch(rng):
                            rng.uniform(size=(n, 3)).astype(np.float32),
                            capacity=n)
     xyz_t = torch.tensor(np.asarray(st.params.xyz), requires_grad=True)
-    opt = torch.optim.Adam([xyz_t], lr=0.01, eps=1e-15)
+    # rotation too: its param init is the identity quat (w=1), which once
+    # leaked into the moment init (empty() used _zeros_params for adam_m/v)
+    # — torch initializes exp_avg to TRUE zeros regardless of param values
+    rot_t = torch.tensor(np.asarray(st.params.rotation), requires_grad=True)
+    opt = torch.optim.Adam([
+        dict(params=[xyz_t], lr=0.01),
+        dict(params=[rot_t], lr=0.001)], eps=1e-15)
 
     lrs = dict(xyz=0.01, f_dc=0.0, f_rest=0.0, lang_feat=0.0, opacity=0.0,
-               scaling=0.0, rotation=0.0)
+               scaling=0.0, rotation=0.001)
     zero = jax.tree.map(jnp.zeros_like, st.params)
     for i in range(3):
         g = rng.normal(size=(n, 3)).astype(np.float32)
+        gr = rng.normal(size=(n, 4)).astype(np.float32)
         xyz_t.grad = torch.tensor(g)
+        rot_t.grad = torch.tensor(gr)
         opt.step()
-        grads = zero.replace(xyz=jnp.asarray(g))
+        grads = zero.replace(xyz=jnp.asarray(g), rotation=jnp.asarray(gr))
         st = G.adam_update(st, grads, lrs)
     np.testing.assert_allclose(np.asarray(st.params.xyz),
                                xyz_t.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.params.rotation),
+                               rot_t.detach().numpy(), atol=1e-6)
 
 
 def test_expon_lr():

@@ -73,6 +73,7 @@ def main():
     smoke = os.environ.get("PROF_SMOKE") == "1"
     mm = os.environ.get("PROF_MM_DTYPE", "bfloat16")
     pmode = os.environ.get("PROF_POWER_MODE", "vpu")
+    p_slabs = int(os.environ.get("PROF_P_SLABS", "0"))
     iters = int(os.environ.get("PROF_ITERS", "8"))
     chunk = int(os.environ.get("PROF_CHUNK", "256"))
     width, height = (320, 192) if smoke else (1200, 680)
@@ -88,7 +89,7 @@ def main():
     cfg = RasterizeConfig(tile_h=tile_h, tile_w=128, max_span_x=4,
                           max_span_y=span_y, chunk=chunk, backend="pallas",
                           max_pairs=1 << (16 if smoke else 20), mm_dtype=mm,
-                          power_mode=pmode)
+                          power_mode=pmode, p_slabs=p_slabs)
     opt = OptimizationParams()
     rng = np.random.default_rng(0)
     pts = rng.uniform(-3, 3, size=(n_points, 3)).astype(np.float32)
