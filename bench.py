@@ -179,7 +179,7 @@ def main():
     bucket_cap = int(os.environ.get("BENCH_BUCKET_CAP", "8192"))
     # watermark slab-skip of the P-bound segments (preprocess/SH/adam/
     # stats; ops/slabs.py) — exact; skips the dead capacity tail
-    p_slabs = int(os.environ.get("BENCH_P_SLABS", "16"))
+    p_slabs = int(os.environ.get("BENCH_P_SLABS", "8"))
     cfg = RasterizeConfig(
         tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
         chunk=256, tile_batch=16, backend=backend,

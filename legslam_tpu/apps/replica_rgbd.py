@@ -112,7 +112,7 @@ def main(argv=None):
                                ("max_span_y", args.max_span_y)) if v}
     cfg = RasterizeConfig(backend=backend, tile_batch=args.tile_batch,
                           mm_dtype=mm, power_mode=pm,
-                          p_slabs=16 if backend == "pallas" else 0, **extra)
+                          p_slabs=8 if backend == "pallas" else 0, **extra)
     opt = mp = None
     cam_intr = None
     if args.cfg:

@@ -174,11 +174,11 @@ class RasterizeConfig:
     # n_buckets > 1. Total gathered pairs = n_buckets * bucket_cap.
     bucket_cap: int = 1 << 16
     # Watermark slab-skip of P-bound per-gaussian ops (preprocess + SH +
-    # feature assembly, and — via train_step — Adam + densify stats): run
-    # slab-by-slab under lax.map and skip slabs entirely above the live-row
+    # feature assembly, and — via train_step — Adam + densify stats):
+    # lax.switch over quantized prefix lengths covering the live-row
     # watermark (ops/slabs.py). EXACT (live slots are allocated
     # lowest-free-first; rows above the watermark are invalid with zero
-    # moments/grads). 0 = off; 16 = the device default (capacity must be
+    # moments/grads). 0 = off; 8 = the device default (capacity must be
     # divisible, else silently full-compute).
     p_slabs: int = 0
     # Gaussian-exponent evaluation in the pallas kernels: "vpu" (exact;

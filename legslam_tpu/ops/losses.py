@@ -52,12 +52,20 @@ def psnr_gaussian_splatting(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray
     return jnp.mean(20.0 * jnp.log10(1.0 / jnp.sqrt(mse)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def lf_cosine_similarity(pred: jnp.ndarray, gt: jnp.ndarray,
                          eps: float = 1e-8) -> jnp.ndarray:
     """Mean over pixels of per-pixel cosine similarity along the channel
     axis (loss_utils.h:36-40; torch cosine_similarity eps=1e-8 semantics:
-    denominator clamped at eps per vector).
+    denominator clamped at eps per vector)."""
+    return _lf_cos_masked(pred, gt, None, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _lf_cos_masked(pred: jnp.ndarray, gt: jnp.ndarray,
+                   mask: jnp.ndarray | None, eps: float) -> jnp.ndarray:
+    """cosine(mask*pred, gt) with the rendered-side mask FOLDED into the
+    channel reductions (the reference masks only the render,
+    gaussian_mapper.cpp:711-721).
 
     Custom VJP: pred/gt are [H, W, 64] (~52 MB each at full res) and the
     64-channel axis sits in the lane dimension, so the op is pure HBM
@@ -66,16 +74,24 @@ def lf_cosine_similarity(pred: jnp.ndarray, gt: jnp.ndarray,
     the backward is ONE more read of each input producing dpred — autodiff
     instead re-materialized the products and re-read both inputs through
     several unfused passes (a measured multi-ms slice of the loss
-    segment). Gradients match autodiff analytically, including the clamp:
-    where |pred|^2 <= eps^2 the max() kills the norm branch, leaving only
-    the gt/(n1*n2) term."""
-    dot, n1, n2, _, _ = _lf_cos_stats(pred, gt, eps)
+    segment). Folding the mask in means the masked [H, W, 64] render is
+    never materialized (its write + two reads were the largest remaining
+    loss-segment traffic) — the mask enters the scalar planes as
+    dot *= m, nsq1 *= m^2, and the backward chain-rules through it.
+    Gradients match autodiff analytically, including the clamp: where
+    |m*pred|^2 <= eps^2 the max() kills the norm branch, leaving only the
+    gt/(n1*n2) term. The mask itself gets ZERO gradient (it is camera
+    data, never optimized)."""
+    dot, n1, n2, _, _ = _lf_cos_stats(pred, gt, mask, eps)
     return jnp.mean(dot / (n1 * n2))
 
 
-def _lf_cos_stats(pred, gt, eps):
+def _lf_cos_stats(pred, gt, mask, eps):
     dot = jnp.sum(pred * gt, axis=-1)
     nsq1 = jnp.sum(pred * pred, axis=-1)
+    if mask is not None:
+        dot = dot * mask
+        nsq1 = nsq1 * (mask * mask)
     nsq2 = jnp.sum(gt * gt, axis=-1)
     # sqrt(max(., eps^2)) keeps the gradient finite at the zero vector
     # (rendered LF is exactly zero at init); torch clamps the denominator.
@@ -84,28 +100,36 @@ def _lf_cos_stats(pred, gt, eps):
     return dot, n1, n2, nsq1, nsq2
 
 
-def _lf_cos_fwd(pred, gt, eps):
-    dot, n1, n2, nsq1, nsq2 = _lf_cos_stats(pred, gt, eps)
+def _lf_cos_fwd(pred, gt, mask, eps):
+    dot, n1, n2, nsq1, nsq2 = _lf_cos_stats(pred, gt, mask, eps)
     val = jnp.mean(dot / (n1 * n2))
-    return val, (pred, gt, dot, n1, n2, nsq1, nsq2)
+    return val, (pred, gt, mask, dot, n1, n2, nsq1, nsq2)
 
 
 def _lf_cos_bwd(eps, res, g):
-    pred, gt, dot, n1, n2, nsq1, nsq2 = res
+    pred, gt, mask, dot, n1, n2, nsq1, nsq2 = res
     npix = dot.size
     inv = 1.0 / (n1 * n2)
-    # d(dot/(n1 n2))/dpred = gt/(n1 n2) - dot/(n1^3 n2) * pred, with the
-    # norm branch clamped off where max() selected eps^2 (symmetric for
-    # dgt; XLA dead-code-eliminates whichever side the caller discards)
+    # with p = m*pred: d(dot/(n1 n2))/dpred = m*gt/(n1 n2) -
+    # m^2*dot/(n1^3 n2) * pred; the norm branch is clamped off where max()
+    # selected eps^2 (symmetric for dgt; XLA dead-code-eliminates
+    # whichever side the caller discards)
     wp = jnp.where(nsq1 > eps * eps, dot * inv / (n1 * n1), 0.0)
     wg = jnp.where(nsq2 > eps * eps, dot * inv / (n2 * n2), 0.0)
     scale = g / npix
-    dpred = (gt * inv[..., None] - pred * wp[..., None]) * scale
-    dgt = (pred * inv[..., None] - gt * wg[..., None]) * scale
-    return dpred, dgt
+    minv, m2wp = inv, wp
+    if mask is not None:
+        minv = mask * inv
+        m2wp = (mask * mask) * wp
+    dpred = (gt * minv[..., None] - pred * m2wp[..., None]) * scale
+    # dgt uses the masked pred ONLY in the cross term: d/dgt = m*pred*inv
+    # - gt*wg (wg already carries the mask through dot)
+    dgt = (pred * minv[..., None] - gt * wg[..., None]) * scale
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dpred, dgt, dmask
 
 
-lf_cosine_similarity.defvjp(_lf_cos_fwd, _lf_cos_bwd)
+_lf_cos_masked.defvjp(_lf_cos_fwd, _lf_cos_bwd)
 
 
 @functools.lru_cache(maxsize=4)
@@ -193,7 +217,9 @@ def mapping_loss(render_color: jnp.ndarray, gt_color: jnp.ndarray,
     loss = (1.0 - lambda_dssim) * l1_loss(pc, gt_color) + \
         lambda_dssim * (1.0 - ssim(pc, gt_color))
     if render_lf is not None and gt_lf is not None:
-        loss = loss + lf_cosine_similarity(render_lf * m, gt_lf)
+        # mask folded into the cosine's channel reductions: the masked
+        # [H, W, 64] render is never materialized (see _lf_cos_masked)
+        loss = loss + _lf_cos_masked(render_lf, gt_lf, m[..., 0], 1e-8)
     md = mask if mask.ndim == 2 else mask[..., 0]
     loss = loss + l1_loss(render_depth * md, gt_depth)
     return loss

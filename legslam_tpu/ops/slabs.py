@@ -9,18 +9,24 @@ padding tax is TPU-specific). Live slots are allocated lowest-free-first
 (models/gaussians.py:_allocate_slots), so live rows always sit below a
 watermark; rows at/above it are invalid with ZERO Adam moments (zeroed on
 prune surgery and on fresh allocation) and zero incoming grads. These ops
-can therefore run slab-by-slab under lax.map, skipping (lax.cond) slabs
-entirely above the watermark — EXACT by the invariants above, saving the
-tail fraction of HBM traffic + VPU time on every P-bound segment.
+can therefore run on a static row-prefix covering the watermark — EXACT by
+the invariants above, saving the tail fraction of HBM traffic + VPU time.
 
-The lax.map/cond structure (vs the backward scatter's lax.switch slab-skip,
-ops/pallas/composite.py:_take_pairs_bwd) keeps ONE executable regardless of
-slab count, so the quantization can be fine (16 slabs default via
-RasterizeConfig.p_slabs) without multiplying remote-compile time.
+Implementation: lax.switch over n_slabs quantized prefix lengths (branch k
+computes rows [0, slab*(k+1)) and fills the tail from `tail_fn`) — the same
+pattern as the backward scatter's slab-skip
+(ops/pallas/composite.py:_take_pairs_bwd). A lax.map/lax.cond loop form
+(one executable regardless of slab count) was tried first and measured FAR
+worse in-step on v5e (step_cached 61.3 -> 92.8 ms at 640x480/16 slabs: the
+scan serializes against neighboring segments and each of the ~64 loop
+iterations pays fixed overhead); switch branches are straight-line code
+XLA fuses like the unskipped graph, at the cost of n_slabs compiled branch
+bodies — keep n_slabs modest (8).
 
-Under vmap/shard_map batching, lax.cond degrades to a select (both branches
-execute) — still correct, just no skip; the single-view hot path is the
-one that matters.
+Under vmap/shard_map batching lax.switch stays a real branch only when the
+selector is unbatched; otherwise it degrades to computing all branches —
+the single-view hot path is the one that matters, multi-view paths keep
+p_slabs off.
 """
 from __future__ import annotations
 
@@ -35,14 +41,15 @@ def watermark(valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.where(valid, iota1, 0))
 
 
-def prefix_map(fn, skip_fn, args, hi: jnp.ndarray, n_slabs: int):
-    """Apply rowwise `fn` over the row-prefix covering `hi`, slab-by-slab.
+def prefix_map(fn, tail_fn, args, hi: jnp.ndarray, n_slabs: int):
+    """Apply rowwise `fn` over the static row-prefix covering `hi`.
 
     args: pytree of arrays sharing a leading axis P (P % n_slabs == 0).
-    fn(slab_args) -> pytree of [slab, ...] outputs; runs for slabs whose
-    base row is < hi. skip_fn(slab_args) -> same structure; runs for slabs
-    entirely at/above hi (constants for pad-style outputs, or the inputs
-    themselves for update-in-place semantics).
+    fn(prefix_args) -> pytree of [m, ...] outputs for the covering prefix
+    m = slab*ceil(hi/slab); tail_fn(tail_args) -> same structure for the
+    remaining [P - m, ...] rows (constants for pad-style outputs, or the
+    sliced inputs themselves for update-in-place semantics). Outputs are
+    concatenated back to [P, ...].
 
     Exactness contract: callers must guarantee rows >= hi are don't-care
     (render path: mask/radius-gated downstream) or fixed points of fn
@@ -52,14 +59,20 @@ def prefix_map(fn, skip_fn, args, hi: jnp.ndarray, n_slabs: int):
     P = leaves[0].shape[0]
     assert P % n_slabs == 0, (P, n_slabs)
     slab = P // n_slabs
-    sl = jax.tree.map(
-        lambda a: a.reshape((n_slabs, slab) + a.shape[1:]), args)
-    bases = jnp.arange(n_slabs, dtype=jnp.int32) * slab
 
-    def one(xs):
-        base, a = xs
-        return jax.lax.cond(base < hi, fn, skip_fn, a)
+    def make(k):
+        m = slab * (k + 1)
 
-    out = jax.lax.map(one, (bases, sl))
-    return jax.tree.map(
-        lambda o: o.reshape((P,) + o.shape[2:]), out)
+        def branch(a):
+            out_head = fn(jax.tree.map(lambda x: x[:m], a))
+            if m == P:
+                return out_head
+            out_tail = tail_fn(jax.tree.map(lambda x: x[m:], a))
+            return jax.tree.map(
+                lambda h, t: jnp.concatenate([h, t], axis=0),
+                out_head, out_tail)
+        return branch
+
+    sel = jnp.clip((hi + slab - 1) // slab - 1, 0, n_slabs - 1)
+    return jax.lax.switch(sel.astype(jnp.int32),
+                          [make(k) for k in range(n_slabs)], args)

@@ -159,8 +159,10 @@ def _strip_view_loss(params7, valid, world_view, full_proj, cam_center,
         + lam * (1.0 - losses.ssim(pc_full, gt_color_pad[:height]))
     if include_lang_feat:
         lf_img = outs[1].reshape(H_pad, width, -1)
-        loss = loss + rescale * losses.lf_cosine_similarity(
-            lf_img * m3, gt_lang_feat_pad)
+        # mask folded into the cosine reductions (same fused custom VJP
+        # as mapping_loss — the masked [H, W, 64] temp never materializes)
+        loss = loss + rescale * losses._lf_cos_masked(
+            lf_img, gt_lang_feat_pad, mask_pad, 1e-8)
     loss = loss + rescale * losses.l1_loss(depth * mask_pad, gt_depth_pad)
     return (loss, color, depth, outs[3], jnp.sum(outs[4]),
             jnp.sum(outs[5]))

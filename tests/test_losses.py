@@ -1,4 +1,5 @@
 """Loss parity tests vs independent numpy implementations."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,43 @@ def test_cosine_similarity(rng):
     np.testing.assert_allclose(
         float(losses.lf_cosine_similarity(jnp.asarray(a), jnp.asarray(a + 1))),
         want, rtol=1e-5)
+
+
+def test_masked_cosine_matches_autodiff(rng):
+    """_lf_cos_masked (mask folded into the channel reductions + custom
+    VJP) must equal autodiff through the materialized mask*pred form —
+    value and both grads — including exact-zero rendered rows (the eps
+    clamp branch) and masked-out pixels."""
+    H, W, C = 12, 16, 64
+    pred = rng.normal(size=(H, W, C)).astype(np.float32)
+    pred[0] = 0.0                      # rendered LF is zero at init
+    gt = rng.normal(size=(H, W, C)).astype(np.float32)
+    mask = (rng.uniform(size=(H, W)) > 0.3).astype(np.float32)
+    pred, gt, mask_j = jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)
+
+    def ref(p, g):
+        m = mask_j[..., None]
+        pm = p * m
+        dot = jnp.sum(pm * g, -1)
+        n1 = jnp.sqrt(jnp.maximum(jnp.sum(pm * pm, -1), 1e-16))
+        n2 = jnp.sqrt(jnp.maximum(jnp.sum(g * g, -1), 1e-16))
+        return jnp.mean(dot / (n1 * n2))
+
+    def new(p, g):
+        return losses._lf_cos_masked(p, g, mask_j, 1e-8)
+
+    v0, g0 = jax.value_and_grad(ref, argnums=(0, 1))(pred, gt)
+    v1, g1 = jax.value_and_grad(new, argnums=(0, 1))(pred, gt)
+    np.testing.assert_allclose(float(v1), float(v0), atol=1e-8)
+    for a, b in zip(g1, g0):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        # grads at clamped rows are ~1/eps scale: compare relatively
+        rel = np.abs(a - b) / (np.abs(b) + 1e-3 * np.abs(b).max() + 1e-30)
+        assert rel.max() < 1e-4
+    # masked-out pixels get zero dpred (the render side is gated)
+    dp = np.asarray(g1[0])
+    assert np.all(dp[np.asarray(mask_j) == 0.0] == 0.0)
 
 
 def test_mapping_loss_shape(rng):
