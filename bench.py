@@ -178,8 +178,12 @@ def main():
     n_buckets = int(os.environ.get("BENCH_NBUCKETS", "1"))
     bucket_cap = int(os.environ.get("BENCH_BUCKET_CAP", "8192"))
     # watermark slab-skip of the P-bound segments (preprocess/SH/adam/
-    # stats; ops/slabs.py) — exact; skips the dead capacity tail
-    p_slabs = int(os.environ.get("BENCH_P_SLABS", "8"))
+    # stats; ops/slabs.py) — exact but MEASURED WORSE in-step (scannet
+    # 16.40 -> 12.34 it/s at p_slabs=8: the switch boundary breaks
+    # XLA fusion across segments and the head/tail concats re-materialize
+    # [P,...] buffers, costing more than the ~24% dead-tail traffic it
+    # skips at 200k/262k occupancy). Default OFF; knob kept.
+    p_slabs = int(os.environ.get("BENCH_P_SLABS", "0"))
     cfg = RasterizeConfig(
         tile_h=16, tile_w=128, max_span_x=4, max_span_y=8,
         chunk=256, tile_batch=16, backend=backend,

@@ -110,9 +110,10 @@ def main(argv=None):
     extra = {k: v for k, v in (("chunk", args.chunk),
                                ("max_span_x", args.max_span_x),
                                ("max_span_y", args.max_span_y)) if v}
+    # p_slabs stays 0: the watermark slab-skip measured WORSE in-step
+    # (scannet bench 16.40 -> 12.34 it/s; see ops/slabs.py docstring)
     cfg = RasterizeConfig(backend=backend, tile_batch=args.tile_batch,
-                          mm_dtype=mm, power_mode=pm,
-                          p_slabs=8 if backend == "pallas" else 0, **extra)
+                          mm_dtype=mm, power_mode=pm, **extra)
     opt = mp = None
     cam_intr = None
     if args.cfg:

@@ -27,6 +27,15 @@ Under vmap/shard_map batching lax.switch stays a real branch only when the
 selector is unbatched; otherwise it degrades to computing all branches —
 the single-view hot path is the one that matters, multi-view paths keep
 p_slabs off.
+
+MEASURED RESULT (v5e, 2026-08-19): the switch form is ALSO a regression
+in-step — scannet bench 16.40 -> 12.34 it/s at p_slabs=8 (640x480, 200k
+live / 262k capacity). The switch boundary stops XLA fusing the
+per-gaussian segments with their neighbors and the head/tail concats
+re-materialize full [P,...] buffers; at 76% occupancy the covering
+prefix is 7/8 slabs, so only ~12% of tail traffic is skipped. Defaults
+are p_slabs=0 everywhere; the knob is kept for re-measurement at lower
+occupancy (a freshly-grown store) where the arithmetic could flip.
 """
 from __future__ import annotations
 
