@@ -396,11 +396,13 @@ def _take_pairs_bwd(res, cots):
     # so scattering only a static prefix that covers nvalid is EXACT. The
     # scatter engine is row-rate-bound (~40 ns/row), so skipping the
     # sentinel tail saves proportional time (~25% at bench occupancy).
-    # 8 quantized prefix lengths via lax.switch keep shapes static (was
-    # 4; at the steady-state bench occupancy of ~51% the coarse quanta
-    # rounded 531k valid rows up to a 786k slab — finer quanta scatter
-    # 655k instead, and the extra executables are tiny).
-    n_slabs = 8
+    # 32 quantized prefix lengths via lax.switch keep shapes static
+    # (4 -> 8 -> 32 over rounds: at the steady-state operating points —
+    # 531k valid rows at 1200x680, 355k at 640x480 — the 1/8 quanta
+    # rounded up to 655k/393k scattered rows; 1/32 quanta scatter
+    # 557k/360k, ~2.6/0.9 ms less at ~26 ns/row, and the extra switch
+    # executables are tiny).
+    n_slabs = 32
     assert n % n_slabs == 0, (n, n_slabs)
     slab = n // n_slabs
 
