@@ -52,6 +52,37 @@ def steady_state_scale_clamp(st, pts, fx: float):
     return st.replace(params=st.params.replace(scaling=jnp.asarray(sc)))
 
 
+# Converged-store opacity quantiles (q = 0, 0.05, ..., 1.0), derived by
+# tools/derive_steady_state.py from a real online-mapping run to steady
+# state (3000 iters, synthetic RGB-D, Replica schedule incl.
+# opacity_reset_interval=0 and densify/prune): opacities TRAIN UP and the
+# densify step prunes < 0.02 (gaussian_mapper.cpp:751), so a converged
+# store is near-opaque (mean 0.957, 95.4% above 0.5) — nothing like the
+# inverse_sigmoid(0.1) init. Opacity gates both perf mechanisms (the
+# kernels' T<1e-4 early termination and binning's opacity-aware
+# effective radius / ellipse cull), so benching at init opacity measures
+# an operating point no real run ever holds.
+STEADY_OPACITY_QUANTILES = (
+    0.0039, 0.6319, 0.9997, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+    1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+
+
+def steady_state_opacity(st, rng):
+    """Sample per-gaussian opacities from the derived converged-store
+    distribution (inverse-CDF over STEADY_OPACITY_QUANTILES) and store
+    them as logits. Clamped below 1 so inverse_sigmoid stays finite (the
+    kernels clamp alpha at 0.99 regardless, forward.cu:344)."""
+    import jax.numpy as jnp
+    n = st.params.opacity.shape[0]
+    qs = np.linspace(0.0, 1.0, len(STEADY_OPACITY_QUANTILES))
+    u = rng.uniform(size=n)
+    op = np.interp(u, qs, np.asarray(STEADY_OPACITY_QUANTILES))
+    op = np.clip(op, 1e-4, 1.0 - 1e-4).astype(np.float32)
+    logits = np.log(op / (1.0 - op))[:, None]
+    return st.replace(params=st.params.replace(
+        opacity=jnp.asarray(logits)))
+
+
 def _system_variant(width, height, n_points, cfg, refresh, smoke):
     """BENCH_VARIANT=system: tracking + encoder + mapping per frame."""
     import time
@@ -203,6 +234,11 @@ def main():
     cols = rng.uniform(size=(n_points, 3)).astype(np.float32)
     st = G.create_from_pcd(pts, cols, capacity=capacity)
     st = steady_state_scale_clamp(st, pts, fx=600.0)
+    # steady-state OPACITY model (see STEADY_OPACITY_QUANTILES): sampled
+    # from a real converged run's distribution. "init" keeps the raw
+    # inverse_sigmoid(0.1) init for A/B measurement.
+    if os.environ.get("BENCH_OPACITY_MODEL", "steady") != "init":
+        st = steady_state_opacity(st, rng)
 
     view = CameraView.create(
         np.eye(3, dtype=np.float32), np.zeros(3, np.float32),

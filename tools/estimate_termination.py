@@ -54,7 +54,10 @@ def main():
     # gaussians train toward ~1, a low-opacity tail survives above the
     # 0.02 prune bound)
     opmodel = os.environ.get("OPACITY_MODEL", "init")
-    if opmodel != "init":
+    if opmodel == "derived":
+        from bench import steady_state_opacity
+        st = steady_state_opacity(st, rng)
+    elif opmodel != "init":
         frac_hi = float(opmodel)  # e.g. 0.7 => 70% high-opacity
         u = rng.uniform(size=capacity).astype(np.float32)
         hi = rng.uniform(0.55, 0.995, size=capacity).astype(np.float32)
