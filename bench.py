@@ -263,14 +263,37 @@ def main():
             max_per_tile=2048,
             opacity=jax.nn.sigmoid(s.params.opacity[:, 0]))
 
-    def step(s, i, binning=None):
+    def step(s, i, binning=None, emit=False):
         return train_step(
             s, view.world_view, view.full_proj, view.cam_center,
             view.tan_fovx, view.tan_fovy, gt_color, gt_lf, gt_depth, mask,
             bg, jnp.asarray(float(i)), 1.0,
             width=width, height=height, active_sh_degree=3, opt=opt,
             cfg=cfg, max_per_tile=2048,
-            binning=make_binning(s) if binning == "fresh" else binning)
+            binning=make_binning(s) if binning == "fresh" else binning,
+            emit_kfin=emit)
+
+    # termination-aware trim of the cached binning (ops/binning.py
+    # trim_binning): the refresh step emits the fwd kernel's per-tile
+    # T<1e-4 watermark; pairs past it are compacted away for the reuse
+    # steps (bit-exact at the measured state — the mapper default).
+    trim = os.environ.get("BENCH_TRIM", "1") == "1" and refresh > 1 \
+        and backend == "pallas" and n_buckets == 1
+    from legslam_tpu.ops.binning import trim_binning
+    trim_jit = jax.jit(trim_binning,
+                       static_argnames=("max_pairs", "chunk",
+                                        "slack_chunks"))
+
+    def refresh_step(s, i):
+        """Group-leading step: fresh binning + (optionally) trim it from
+        the step's watermark for the group's reuse steps."""
+        binning = make_binning(s)
+        s, aux = step(s, i, binning=binning, emit=trim)
+        if trim:
+            binning = (trim_jit(binning[0], aux.kfin,
+                                max_pairs=cfg.max_pairs, chunk=cfg.chunk),
+                       binning[1])
+        return s, aux, binning
 
     encoder = None
     if variant == "frame":
@@ -288,8 +311,7 @@ def main():
 
     # compile + warmup (both variants when the cache is on)
     if refresh > 1:
-        st, aux = step(st, 0, binning="fresh")
-        binning = make_binning(st)
+        st, aux, binning = refresh_step(st, 0)
         st, aux = step(st, 0, binning=binning)
     else:
         st, aux = step(st, 0)
@@ -319,8 +341,9 @@ def main():
                            height, width)
             if refresh > 1:
                 if k == 0:
-                    binning = make_binning(st)
-                st, aux = step(st, i + 1, binning=binning)
+                    st, aux, binning = refresh_step(st, i + 1)
+                else:
+                    st, aux = step(st, i + 1, binning=binning)
             else:
                 st, aux = step(st, i + 1)
         # host sync ONCE per group, like the production mapper
@@ -351,7 +374,7 @@ def main():
         "metric": metric,
         "value": round(fps, 3),
         "unit": f"iters/s ({scale}, {backend} backend, {mm_dtype} mxu, "
-                f"binning refresh {refresh})",
+                f"binning refresh {refresh}{'+trim' if trim else ''})",
         "vs_baseline": round(fps / baseline, 3),
     }))
 

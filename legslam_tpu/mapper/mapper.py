@@ -49,6 +49,11 @@ _binning_jit = jax.jit(
     compute_binning,
     static_argnames=("width", "height", "cfg", "max_per_tile"))
 
+from legslam_tpu.ops.binning import trim_binning as _trim_binning  # noqa: E402
+
+_trim_binning_jit = jax.jit(
+    _trim_binning, static_argnames=("max_pairs", "chunk", "slack_chunks"))
+
 
 def nerfpp_norm(cam_centers: np.ndarray) -> tuple[np.ndarray, float]:
     """Scene translate/radius: 1.1 x max distance from the camera-center
@@ -76,6 +81,7 @@ class GaussianMapper:
                  include_lang_feat: bool = True,
                  binning_refresh_interval: int = 1,
                  binning_cache_entries: int = 16,
+                 binning_trim: bool = True,
                  sensor_type: str = "rgbd",
                  n_views: int = 1,
                  spatial_strips: int = 1,
@@ -128,6 +134,16 @@ class GaussianMapper:
         self.binning_refresh_interval = binning_refresh_interval
         self.binning_cache_entries = binning_cache_entries
         self._binning_cache: dict = {}
+        # termination-aware trim of cached binnings (ops/binning.py
+        # trim_binning): the refresh step emits the forward kernel's
+        # per-tile T<1e-4 watermark, and pairs past it — which contributed
+        # zero color and zero gradient at the measured state — are
+        # compacted away before the reuse steps, so the row-rate-bound
+        # pair gather/scatter engine and both compositing kernels skip
+        # them. Same staleness class as the cache itself. Pallas flat
+        # (n_buckets=1) single-view path only.
+        self.binning_trim = binning_trim
+        self._binning_fresh = False
         # multi-view batched mapping (TPU-native scaling axis, SURVEY §5):
         # each tick drains n_views keyframes through ONE data-parallel
         # step on the device mesh — per-view render/loss/grad in parallel,
@@ -502,9 +518,14 @@ class GaussianMapper:
 
     def _get_binning(self, kf: MapKeyframe, lvl: int, view) -> Optional[tuple]:
         """Cached (binning, overflow) for (kf, level), refreshed every
-        `binning_refresh_interval` uses; None when caching is off."""
+        `binning_refresh_interval` uses; None when caching is off.
+        Sets `_binning_fresh` when this call recomputed the entry (the
+        caller may then trim it from the step's kfin watermark)."""
         if self.binning_refresh_interval <= 1:
+            self._binning_fresh = False
             return None
+        entry = self._binning_cache.get((kf.fid, lvl))
+        self._binning_fresh = entry is None or entry[0] <= 0
 
         def compute():
             st = self.state
@@ -630,6 +651,12 @@ class GaussianMapper:
                 include_lf, lr_step)
         else:
             binning = self._get_binning(kf, lvl, view)
+            emit = bool(
+                self.binning_trim and self._binning_fresh
+                and binning is not None
+                and self.binning_refresh_interval > 1
+                and self.cfg.backend == "pallas"
+                and getattr(self.cfg, "n_buckets", 1) == 1)
             t0 = time.perf_counter()
             self.state, aux = train_step(
                 self.state, view.world_view, view.full_proj,
@@ -639,7 +666,20 @@ class GaussianMapper:
                 width=view.width, height=view.height,
                 active_sh_degree=self.active_sh_degree, opt=opt,
                 cfg=self.cfg, include_lang_feat=include_lf,
-                max_per_tile=self.max_per_tile, binning=binning)
+                max_per_tile=self.max_per_tile, binning=binning,
+                emit_kfin=emit)
+            if emit and aux.kfin is not None:
+                # trim the just-cached binning at the refresh step's
+                # termination watermark for the remaining reuse steps
+                # (bit-exact at the measured state; ops/binning.py)
+                key = (kf.fid, lvl)
+                ent = self._binning_cache.get(key)
+                if ent is not None:
+                    trimmed = _trim_binning_jit(
+                        binning[0], aux.kfin,
+                        max_pairs=self.cfg.max_pairs, chunk=self.cfg.chunk)
+                    self._binning_cache[key] = (ent[0],
+                                                (trimmed, binning[1]))
         # avoid a host sync every iteration (the device dispatch pipeline
         # hides transfer latency); fetch the loss only periodically
         self._last_aux = aux

@@ -36,6 +36,10 @@ class StepAux(NamedTuple):
     psnr: jnp.ndarray
     num_rendered: jnp.ndarray | int = 0
     overflow_pairs: jnp.ndarray | int = 0
+    # per-tile termination watermark (pallas backend, emit_kfin steps
+    # only); feeds ops.binning.trim_binning for the cached-binning reuse
+    # steps of a refresh group
+    kfin: jnp.ndarray | None = None
 
 
 def make_lrs(opt: OptimizationParams, spatial_lr_scale,
@@ -58,7 +62,7 @@ def make_lrs(opt: OptimizationParams, spatial_lr_scale,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "active_sh_degree", "opt", "cfg",
-                     "include_lang_feat", "max_per_tile"))
+                     "include_lang_feat", "max_per_tile", "emit_kfin"))
 def train_step(state: G.GaussianState,
                world_view: jnp.ndarray, full_proj: jnp.ndarray,
                cam_center: jnp.ndarray, tan_fovx, tan_fovy,
@@ -68,7 +72,7 @@ def train_step(state: G.GaussianState,
                *, width: int, height: int, active_sh_degree: int,
                opt: OptimizationParams, cfg: RasterizeConfig,
                include_lang_feat: bool = True, max_per_tile: int = 2048,
-               binning=None):
+               binning=None, emit_kfin: bool = False):
     """One optimization iteration. Returns (new_state, StepAux).
 
     `binning` (optional): a cached (Binning, overflow) pair from
@@ -89,17 +93,17 @@ def train_step(state: G.GaussianState,
             cam_center, tan_fovx, tan_fovy, width, height, bg,
             active_sh_degree, cfg, include_lang_feat=include_lang_feat,
             mean2d_offset=mean2d_offset, max_per_tile=max_per_tile,
-            binning=binning)
+            binning=binning, emit_kfin=emit_kfin)
         loss = losses.mapping_loss(
             out.color, gt_color, out.lang_feat, gt_lang_feat, out.depth,
             gt_depth, mask, opt.lambda_dssim)
         return loss, (out.color, out.depth, out.radii, out.num_rendered,
-                      out.overflow_pairs)
+                      out.overflow_pairs, out.kfin)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=tuple(range(8)),
                                  has_aux=True)
-    (loss, (color, depth, radii, num_rendered, overflow_pairs)), grads = \
-        grad_fn(
+    (loss, (color, depth, radii, num_rendered, overflow_pairs, kfin)), \
+        grads = grad_fn(
         p.xyz, p.f_dc, p.f_rest, p.lang_feat, p.opacity, p.scaling,
         p.rotation, offset0)
     g_params = G.GaussianParams(
@@ -130,7 +134,7 @@ def train_step(state: G.GaussianState,
     psnr = losses.psnr(color * m[..., None], gt_color * m[..., None])
     return state, StepAux(loss=loss, color=color, depth=depth, radii=radii,
                           psnr=psnr, num_rendered=num_rendered,
-                          overflow_pairs=overflow_pairs)
+                          overflow_pairs=overflow_pairs, kfin=kfin)
 
 
 def upsample_lf(lf_small: jnp.ndarray, height: int, width: int

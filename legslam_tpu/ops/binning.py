@@ -384,6 +384,85 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
                    span_overflow=span_overflow)
 
 
+def trim_binning(binning: Binning, kfin: jnp.ndarray, max_pairs: int,
+                 chunk: int, slack_chunks: int = 1) -> Binning:
+    """Termination-aware trim of a cached flat binning.
+
+    `kfin` ([ntiles] int32) is the forward kernel's per-tile termination
+    watermark (chunks processed before every pixel crossed T < 1e-4,
+    forward.cu:353-357 semantics) from a step that ran with THIS binning.
+    Pairs past the watermark contributed exactly zero color and received
+    exactly zero gradient in that step — the compositing kernels never
+    read them — but the row-rate-bound pair gather/scatter engine still
+    paid for them (they sit inside the global valid prefix). This trims
+    each tile's range at the watermark (+`slack_chunks` of headroom for
+    within-refresh-group drift) and COMPACTS the survivors to a global
+    prefix, so the existing nvalid-based chunk-skip (gather) and slab-skip
+    (scatter) machinery drops the dead rows.
+
+    Same staleness class as the binning cache itself (the store drifts
+    between a refresh and its reuse steps; mapper binning_refresh_interval
+    gates both): at the state the watermark was measured, the trimmed
+    render composites the IDENTICAL contributing-pair set — outputs and
+    gradients agree up to f32 reassociation of the chunked transmittance
+    prefix (compaction shifts tile starts relative to chunk boundaries).
+
+    The compaction is sort-free: survivors are per-tile PREFIXES of
+    contiguous ranges, so the source index is pos + a per-segment constant
+    offset (start[t] - start_new[t]) — a step function over positions,
+    materialized by ONE tiny [ntiles]-point scatter-add of the offset
+    jumps at the new segment starts + a cumsum (a searchsorted here would
+    be ~10 rounds of [npair] scalar gathers from the [ntiles] table — the
+    pathological TPU pattern), then one chunk-skipped row gather.
+    """
+    P = binning.order.shape[0]
+    npair = binning.pair_gid.shape[0]
+    # the clipped frame prepare_pairs actually used
+    start = jnp.minimum(binning.tile_start, max_pairs).astype(jnp.int32)
+    end = jnp.minimum(binning.tile_start + binning.tile_count,
+                      max_pairs).astype(jnp.int32)
+    count = end - start
+    base0 = (start // chunk) * chunk
+    live_end = jnp.minimum(
+        start + count, base0 + (kfin + slack_chunks) * chunk)
+    count_new = jnp.maximum(live_end - start, 0).astype(jnp.int32)
+    cum = jnp.cumsum(count_new)
+    start_new = (cum - count_new).astype(jnp.int32)
+    live_total = cum[-1].astype(jnp.int32)
+
+    pos = jnp.arange(npair, dtype=jnp.int32)
+    # src = pos + offset[t_of(pos)] with offset = start - start_new
+    # constant within each destination segment: scatter each segment's
+    # offset JUMP at its start position (zero-count segments share a
+    # start; add-mode accumulates their net jump) and cumsum into the
+    # per-position step function. Positions >= live_total get garbage —
+    # masked to the sentinel below.
+    offset = start - start_new
+    jump = jnp.diff(offset, prepend=offset[:1])
+    jump = jump.at[0].set(offset[0])
+    off = jnp.zeros(npair, jnp.int32).at[start_new].add(jump, mode="drop")
+    src = pos + jnp.cumsum(off)
+    src = jnp.clip(src, 0, npair - 1)
+
+    # chunk-skipped 1-D gather: positions >= live_total are sentinels
+    n_chunks = 64 if npair % 64 == 0 else 1
+    rows = npair // n_chunks
+
+    def one(args):
+        ix, active = args
+        return jax.lax.cond(active, lambda: binning.pair_gid[ix],
+                            lambda: jnp.full((rows,), P, jnp.int32))
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * rows
+    gid = jax.lax.map(one, (src.reshape(n_chunks, rows),
+                            starts < live_total)).reshape(npair)
+    gid = jnp.where(pos < live_total, gid, P)
+    return Binning(order=binning.order, pair_gid=gid,
+                   tile_start=start_new, tile_count=count_new,
+                   num_rendered=live_total,
+                   span_overflow=binning.span_overflow)
+
+
 def bin_gaussians_bucketed(pre: Preprocessed, width: int, height: int,
                            cfg: RasterizeConfig, n_buckets: int,
                            cap_per_bucket: int,

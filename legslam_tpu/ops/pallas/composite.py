@@ -151,10 +151,11 @@ def _tri_prefix(log1m, u, mm_dtype):
 
 
 def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
-                    out_ref, tfin_ref, *, chunk: int, tile_w: int,
+                    out_ref, tfin_ref, *refs, chunk: int, tile_w: int,
                     tile_h: int, ntx: int, c_out: int, pairs_pad: int,
                     n_buckets: int, mm_dtype: str = "float32",
-                    power_mode: str = "vpu"):
+                    power_mode: str = "vpu", emit_kfin: bool = False):
+    kfin_ref = refs[0] if emit_kfin else None
     t = pl.program_id(0)
     npix = tile_h * tile_w
 
@@ -287,6 +288,13 @@ def _forward_kernel(tile_start, tile_count, geo_hbm, feats_hbm, uexcl,
             @pl.when(k_fin < n_chunks)
             def _():
                 wait_fetch(base0, k_fin)
+            if emit_kfin:
+                # per-tile chunks-processed watermark (feeds the
+                # termination-aware binning trim, ops/binning.py
+                # trim_binning); only meaningful for the flat n_buckets=1
+                # layout, where one bucket covers the whole tile range
+                kfin_ref[0] = jnp.full(kfin_ref.shape[1:], k_fin,
+                                       jnp.int32)
             return b + 1, log_t_all, log_t_fin, acc
 
         def bucket_cond(bcarry):
@@ -474,14 +482,16 @@ def prepare_pairs(binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_w", "tile_h", "ntx", "ntiles", "chunk",
-                     "interpret", "n_buckets", "mm_dtype", "power_mode"))
+                     "interpret", "n_buckets", "mm_dtype", "power_mode",
+                     "emit_kfin"))
 def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
                            pair_geo: jnp.ndarray, pair_feats: jnp.ndarray,
                            *, tile_w: int, tile_h: int, ntx: int,
                            ntiles: int, chunk: int = 256,
                            interpret: bool = False, n_buckets: int = 1,
                            mm_dtype: str = "float32",
-                           power_mode: str = "vpu"):
+                           power_mode: str = "vpu",
+                           emit_kfin: bool = False):
     """Run the forward compositing kernel.
 
     Args:
@@ -491,9 +501,15 @@ def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
       pair_geo: [8, PAIRS_PAD] f32 rows (x, y, conic a/b/c, opacity, pad).
       pair_feats: [PAIRS_PAD, C] f32 blend features (rgb+lf+depth, padded
         lanes OK).
+      emit_kfin: also return kfin [ntiles, 8, 128] int32 whose [:, 0, 0]
+        is the per-tile chunks-processed count (the T<1e-4 termination
+        watermark; feeds ops/binning.trim_binning). Flat layout only.
 
-    Returns (acc [ntiles, npix, C], t_final [ntiles, npix, 1]).
+    Returns (acc [ntiles, npix, C], t_final [ntiles, npix, 1]) and, with
+    emit_kfin, the kfin array.
     """
+    assert not (emit_kfin and n_buckets > 1), \
+        "kfin is only defined for the flat single-bucket layout"
     pairs_pad = pair_geo.shape[1]
     c_out = pair_feats.shape[1]
     npix = tile_h * tile_w
@@ -504,7 +520,24 @@ def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
     kernel = functools.partial(
         _forward_kernel, chunk=chunk, tile_w=tile_w, tile_h=tile_h,
         ntx=ntx, c_out=c_out, pairs_pad=pairs_pad, n_buckets=n_buckets,
-        mm_dtype=mm_dtype, power_mode=power_mode)
+        mm_dtype=mm_dtype, power_mode=power_mode, emit_kfin=emit_kfin)
+
+    out_specs = [
+        pl.BlockSpec((1, npix, c_out), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npix, 1), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles, npix, c_out), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, npix, 1), jnp.float32),
+    ]
+    if emit_kfin:
+        out_specs.append(
+            pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((ntiles, 8, 128), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -514,25 +547,17 @@ def composite_tiles_pallas(tile_start: jnp.ndarray, tile_count: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.HBM),   # feats (manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # uexcl
         ],
-        out_specs=[
-            pl.BlockSpec((1, npix, c_out), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npix, 1), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
     )
-    acc, tfin = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((ntiles, npix, c_out), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, npix, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(tile_start, tile_count, pair_geo, pair_feats, uexcl)
-    return acc, tfin
+    return out if emit_kfin else (out[0], out[1])
 
 
 def composite_image_pallas(binning, mean2d, conic, opacity, feats,
@@ -542,12 +567,15 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
                            differentiable: bool = False,
                            n_buckets: int = 1,
                            mm_dtype: str = "float32",
-                           power_mode: str = "vpu"):
+                           power_mode: str = "vpu",
+                           emit_kfin: bool = False):
     """Full-image forward compositing via the Pallas kernel.
 
     Accepts either a flat Binning (n_buckets=1) or a BucketedBinning (pass
     the matching n_buckets). Returns (img [H, W, C], t_final [H, W]) with
-    C = feats channel count. With differentiable=True, gradients flow to
+    C = feats channel count — plus, with emit_kfin, the [ntiles] int32
+    per-tile termination watermark (chunks processed before T<1e-4; feeds
+    ops/binning.trim_binning). With differentiable=True, gradients flow to
     mean2d/conic/opacity/feats through the Pallas backward kernel + the
     gathers' scatter-add VJP.
     """
@@ -565,13 +593,16 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
     if differentiable:
         from legslam_tpu.ops.pallas.composite_bwd import make_composite_vjp
         fn = make_composite_vjp(tile_w, tile_h, ntx, ntiles, chunk,
-                                interpret, n_buckets, mm_dtype, power_mode)
-        acc, tfin = fn(start, count, geo, pf)
+                                interpret, n_buckets, mm_dtype, power_mode,
+                                emit_kfin)
+        out = fn(start, count, geo, pf)
     else:
-        acc, tfin = composite_tiles_pallas(
+        out = composite_tiles_pallas(
             start, count, geo, pf, tile_w=tile_w, tile_h=tile_h, ntx=ntx,
             ntiles=ntiles, chunk=chunk, interpret=interpret,
-            n_buckets=n_buckets, mm_dtype=mm_dtype, power_mode=power_mode)
+            n_buckets=n_buckets, mm_dtype=mm_dtype, power_mode=power_mode,
+            emit_kfin=emit_kfin)
+    acc, tfin = out[0], out[1]
     c_out = acc.shape[-1]
     img = acc.reshape(nty, ntx, tile_h, tile_w, c_out)
     img = img.transpose(0, 2, 1, 3, 4).reshape(
@@ -579,4 +610,6 @@ def composite_image_pallas(binning, mean2d, conic, opacity, feats,
     tf = tfin.reshape(nty, ntx, tile_h, tile_w)
     tf = tf.transpose(0, 2, 1, 3).reshape(
         nty * tile_h, ntx * tile_w)[:height, :width]
+    if emit_kfin:
+        return img, tf, out[2][:, 0, 0]
     return img, tf

@@ -475,12 +475,14 @@ def composite_backward_pallas(tile_start, tile_count, pair_geo, pair_feats,
 def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
                        chunk: int, interpret: bool, n_buckets: int = 1,
                        mm_dtype: str = "float32",
-                       power_mode: str = "vpu"):
+                       power_mode: str = "vpu", emit_kfin: bool = False):
     """Differentiable tile compositing: Pallas forward + Pallas backward.
 
     Returns f(start, count, geo, feats) -> (acc, tfin) with gradients
     flowing to geo/feats (pair space); the pair->gaussian reduction is the
-    autodiff VJP of prepare_pairs' gathers.
+    autodiff VJP of prepare_pairs' gathers. With emit_kfin the output is
+    (acc, tfin, kfin) — kfin is the int32 per-tile termination watermark
+    (no gradient; feeds ops/binning.trim_binning).
     """
 
     @jax.custom_vjp
@@ -488,15 +490,17 @@ def make_composite_vjp(tile_w: int, tile_h: int, ntx: int, ntiles: int,
         return composite_tiles_pallas(
             start, count, geo, feats, tile_w=tile_w, tile_h=tile_h,
             ntx=ntx, ntiles=ntiles, chunk=chunk, interpret=interpret,
-            n_buckets=n_buckets, mm_dtype=mm_dtype, power_mode=power_mode)
+            n_buckets=n_buckets, mm_dtype=mm_dtype, power_mode=power_mode,
+            emit_kfin=emit_kfin)
 
     def fwd(start, count, geo, feats):
-        acc, tfin = f(start, count, geo, feats)
-        return (acc, tfin), (start, count, geo, feats, tfin, acc)
+        out = f(start, count, geo, feats)
+        acc, tfin = out[0], out[1]
+        return out, (start, count, geo, feats, tfin, acc)
 
     def bwd(res, cots):
         start, count, geo, feats, tfin, acc = res
-        dacc, dtfin = cots
+        dacc, dtfin = cots[0], cots[1]  # kfin cotangent (int32) ignored
         dgeo, dfeats = composite_backward_pallas(
             start, count, geo, feats, dacc, dtfin, tfin, acc,
             tile_w=tile_w, tile_h=tile_h, ntx=ntx, ntiles=ntiles,

@@ -67,6 +67,9 @@ class RasterizeOutput(NamedTuple):
     # (rasterizer_impl.cu sizes buffers to num_rendered); nonzero means
     # far gaussians silently lose coverage + gradient — callers should warn.
     overflow_pairs: jnp.ndarray    # [] int32
+    # per-tile termination watermark (chunks processed before T<1e-4;
+    # pallas backend with emit_kfin only) — feeds binning.trim_binning
+    kfin: jnp.ndarray | None = None  # [ntiles] int32
 
 
 def _composite_tiles(binning: Binning, mean2d: jnp.ndarray,
@@ -248,7 +251,8 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
                   stop_depth_grad: bool = True,
                   binning=None,
                   crop_y: jnp.ndarray | None = None,
-                  crop_h: int | None = None) -> RasterizeOutput:
+                  crop_h: int | None = None,
+                  emit_kfin: bool = False) -> RasterizeOutput:
     """Core render on raw arrays (jit/grad-friendly: width/height static,
     everything else traceable). See `rasterize` for argument docs.
 
@@ -319,15 +323,20 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
         # a cached binning references gaussian SLOTS; the caller must
         # invalidate on any store surgery (densify/prune/increase/reset)
         binning = jax.tree.map(jax.lax.stop_gradient, binning)
+    kfin = None
     if cfg.backend == "pallas":
         from legslam_tpu.ops.pallas.composite import composite_image_pallas
         nb = getattr(cfg, "n_buckets", 1)
-        img, t_final = composite_image_pallas(
+        out = composite_image_pallas(
             binning, pre.mean2d, pre.conic, opacity, feats, width, height,
             cfg.tile_w, cfg.tile_h, cfg.max_pairs, cfg.chunk,
             interpret=cfg.pallas_interpret, differentiable=True,
             n_buckets=nb, mm_dtype=getattr(cfg, "mm_dtype", "float32"),
-            power_mode=getattr(cfg, "power_mode", "vpu"))
+            power_mode=getattr(cfg, "power_mode", "vpu"),
+            emit_kfin=emit_kfin and nb == 1)
+        img, t_final = out[0], out[1]
+        if emit_kfin and nb == 1:
+            kfin = out[2]
         img = img[..., :feats.shape[-1]]
     else:
         img, t_final = _composite_tiles(
@@ -340,7 +349,8 @@ def render_arrays(means3d: jnp.ndarray, sh: jnp.ndarray,
     return RasterizeOutput(color=color, lang_feat=lf, depth=depth,
                            final_t=t_final, radii=pre.radius,
                            num_rendered=binning.num_rendered,
-                           overflow_pairs=overflow.astype(jnp.int32))
+                           overflow_pairs=overflow.astype(jnp.int32),
+                           kfin=kfin)
 
 
 def rasterize(means3d: jnp.ndarray, sh: jnp.ndarray, lang_feat: jnp.ndarray,
