@@ -279,6 +279,7 @@ def main():
     # steps (bit-exact at the measured state — the mapper default).
     trim = os.environ.get("BENCH_TRIM", "1") == "1" and refresh > 1 \
         and backend == "pallas" and n_buckets == 1
+    trim_slack = int(os.environ.get("BENCH_TRIM_SLACK", "1"))
     from legslam_tpu.ops.binning import trim_binning
     trim_jit = jax.jit(trim_binning,
                        static_argnames=("max_pairs", "chunk",
@@ -291,7 +292,8 @@ def main():
         s, aux = step(s, i, binning=binning, emit=trim)
         if trim:
             binning = (trim_jit(binning[0], aux.kfin,
-                                max_pairs=cfg.max_pairs, chunk=cfg.chunk),
+                                max_pairs=cfg.max_pairs, chunk=cfg.chunk,
+                                slack_chunks=trim_slack),
                        binning[1])
         return s, aux, binning
 
