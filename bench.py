@@ -280,22 +280,36 @@ def main():
     trim = os.environ.get("BENCH_TRIM", "1") == "1" and refresh > 1 \
         and backend == "pallas" and n_buckets == 1
     trim_slack = int(os.environ.get("BENCH_TRIM_SLACK", "1"))
+    # ALSO pre-trim the group-leading (fresh-binning) step with the
+    # PREVIOUS group's watermark (+1 extra slack chunk): the fresh step
+    # otherwise composites/gathers the full untrimmed pair set just to
+    # re-measure a watermark that drifts by ~a chunk per group. kfin
+    # emitted on a pre-trimmed binning counts chunks from the trimmed
+    # tile starts, so the reuse-step trim composes unchanged. One group
+    # staler than the reuse-trim; same staleness class as the cache.
+    trim_fresh = trim and os.environ.get("BENCH_TRIM_FRESH", "0") == "1"
     from legslam_tpu.ops.binning import trim_binning
     trim_jit = jax.jit(trim_binning,
                        static_argnames=("max_pairs", "chunk",
                                         "slack_chunks"))
 
-    def refresh_step(s, i):
+    def refresh_step(s, i, prev_kfin=None):
         """Group-leading step: fresh binning + (optionally) trim it from
         the step's watermark for the group's reuse steps."""
         binning = make_binning(s)
+        if trim_fresh and prev_kfin is not None:
+            binning = (trim_jit(binning[0], prev_kfin,
+                                max_pairs=cfg.max_pairs, chunk=cfg.chunk,
+                                slack_chunks=trim_slack + 1),
+                       binning[1])
         s, aux = step(s, i, binning=binning, emit=trim)
+        kfin = aux.kfin
         if trim:
-            binning = (trim_jit(binning[0], aux.kfin,
+            binning = (trim_jit(binning[0], kfin,
                                 max_pairs=cfg.max_pairs, chunk=cfg.chunk,
                                 slack_chunks=trim_slack),
                        binning[1])
-        return s, aux, binning
+        return s, aux, binning, kfin
 
     encoder = None
     if variant == "frame":
@@ -312,9 +326,12 @@ def main():
                                 jnp.float32)
 
     # compile + warmup (both variants when the cache is on)
+    kfin = None
     if refresh > 1:
-        st, aux, binning = refresh_step(st, 0)
+        st, aux, binning, kfin = refresh_step(st, 0)
         st, aux = step(st, 0, binning=binning)
+        if trim_fresh:  # compile the pre-trimmed refresh variant too
+            st, aux, binning, kfin = refresh_step(st, 0, kfin)
     else:
         st, aux = step(st, 0)
     jax.block_until_ready(aux.loss)
@@ -343,7 +360,8 @@ def main():
                            height, width)
             if refresh > 1:
                 if k == 0:
-                    st, aux, binning = refresh_step(st, i + 1)
+                    st, aux, binning, kfin = refresh_step(
+                        st, i + 1, kfin if trim_fresh else None)
                 else:
                     st, aux = step(st, i + 1, binning=binning)
             else:
@@ -376,7 +394,9 @@ def main():
         "metric": metric,
         "value": round(fps, 3),
         "unit": f"iters/s ({scale}, {backend} backend, {mm_dtype} mxu, "
-                f"binning refresh {refresh}{'+trim' if trim else ''})",
+                f"binning refresh {refresh}"
+                f"{'+trim' if trim else ''}"
+                f"{'+trimfresh' if trim_fresh else ''})",
         "vs_baseline": round(fps / baseline, 3),
     }))
 

@@ -82,6 +82,7 @@ class GaussianMapper:
                  binning_refresh_interval: int = 1,
                  binning_cache_entries: int = 16,
                  binning_trim: bool = True,
+                 binning_trim_fresh: bool = True,
                  sensor_type: str = "rgbd",
                  n_views: int = 1,
                  spatial_strips: int = 1,
@@ -144,6 +145,19 @@ class GaussianMapper:
         # (n_buckets=1) single-view path only.
         self.binning_trim = binning_trim
         self._binning_fresh = False
+        # ALSO pre-trim the group-leading (fresh-binning) step with the
+        # view's PREVIOUS watermark (+1 extra slack chunk): without this
+        # the refresh step composites/gathers the full untrimmed pair set
+        # just to re-measure a watermark that drifts by ~a chunk per
+        # group. One group staler than the reuse trim — same staleness
+        # class. A kfin measured on a pre-trimmed binning is itself
+        # capped at the trim bound, so every `trim_fresh_max_age + 1`-th
+        # refresh of a key runs untrimmed to re-measure in full (bounds
+        # the ratchet; discontinuities — densify/prune/reset/surgery —
+        # clear the watermark store via _invalidate_binning).
+        self.binning_trim_fresh = binning_trim_fresh
+        self.trim_fresh_max_age = 3
+        self._kfin_cache: dict = {}
         # multi-view batched mapping (TPU-native scaling axis, SURVEY §5):
         # each tick drains n_views keyframes through ONE data-parallel
         # step on the device mesh — per-view render/loss/grad in parallel,
@@ -500,6 +514,7 @@ class GaussianMapper:
 
     def _invalidate_binning(self) -> None:
         self._binning_cache.clear()
+        self._kfin_cache.clear()
 
     def _cached(self, key, compute, uses: Optional[int] = None):
         """Refresh-counted LRU entry in the binning cache: reuse `uses`
@@ -657,6 +672,18 @@ class GaussianMapper:
                 and self.binning_refresh_interval > 1
                 and self.cfg.backend == "pallas"
                 and getattr(self.cfg, "n_buckets", 1) == 1)
+            if emit and self.binning_trim_fresh:
+                # pre-trim the refresh step at the view's previous
+                # watermark (+1 extra slack chunk of headroom); every
+                # (max_age+1)-th refresh re-measures untrimmed
+                kent = self._kfin_cache.get((kf.fid, lvl))
+                if kent is not None and kent[0] < self.trim_fresh_max_age:
+                    kent[0] += 1
+                    binning = (_trim_binning_jit(
+                        binning[0], kent[1], max_pairs=self.cfg.max_pairs,
+                        chunk=self.cfg.chunk, slack_chunks=2), binning[1])
+                else:
+                    self._kfin_cache.pop((kf.fid, lvl), None)
             t0 = time.perf_counter()
             self.state, aux = train_step(
                 self.state, view.world_view, view.full_proj,
@@ -680,6 +707,15 @@ class GaussianMapper:
                         max_pairs=self.cfg.max_pairs, chunk=self.cfg.chunk)
                     self._binning_cache[key] = (ent[0],
                                                 (trimmed, binning[1]))
+                if self.binning_trim_fresh:
+                    # age stayed incremented if this refresh was
+                    # pre-trimmed; a full re-measure re-enters at age 0
+                    age = self._kfin_cache.get(key, [0, None])[0]
+                    self._kfin_cache[key] = [age, aux.kfin]
+                    while len(self._kfin_cache) > \
+                            self.binning_cache_entries:
+                        self._kfin_cache.pop(
+                            next(iter(self._kfin_cache)))
         # avoid a host sync every iteration (the device dispatch pipeline
         # hides transfer latency); fetch the loss only periodically
         self._last_aux = aux

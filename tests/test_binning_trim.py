@@ -224,6 +224,133 @@ def test_trim_staleness_converges(rng):
         0.05 * abs(losses_exact[-1]) + 1e-3, (losses_exact, losses_trim)
 
 
+def test_trim_fresh_staleness_converges(rng):
+    """Pre-trimming the REFRESH step at the previous group's watermark
+    (+1 extra slack chunk) adds one group of staleness on top of the
+    reuse-step trim: the group-leading step composites inside last
+    group's live set instead of re-measuring from the full pair set. At
+    mapping LRs the live set drifts by well under a chunk per group, so
+    training must still track the exact path closely."""
+    from legslam_tpu.config import OptimizationParams
+    from legslam_tpu.mapper.train_step import train_step
+    from legslam_tpu.models import gaussians as G
+
+    W, H = 128, 48
+    view = simple_view(width=W, height=H)
+    scene = _opaque_scene(rng, n=300, capacity=512)
+    st = G.create_from_pcd(scene["means3d"][:300],
+                           np.clip(scene["sh"][:300, 0] * 0.28 + 0.5, 0, 1),
+                           capacity=512)
+    op_logit = np.log(scene["opacity"] / (1 - scene["opacity"]))
+    st = st.replace(params=st.params.replace(
+        opacity=jnp.asarray(op_logit[:, None], jnp.float32),
+        scaling=jnp.asarray(np.log(scene["scales"]), jnp.float32),
+        rotation=jnp.asarray(scene["quats"], jnp.float32)))
+    opt = OptimizationParams()
+    gt_c = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+    gt_d = jnp.asarray(rng.uniform(1, 6, size=(H, W)), jnp.float32)
+    mask = jnp.ones((H, W), jnp.float32)
+
+    def step(s, binning=None, i=1.0, emit=False):
+        return train_step(
+            s, view.world_view, view.full_proj, view.cam_center,
+            view.tan_fovx, view.tan_fovy, gt_c, None, gt_d, mask,
+            jnp.zeros(3), jnp.asarray(i), 1.0, width=W, height=H,
+            active_sh_degree=0, opt=opt, cfg=CFG_P,
+            include_lang_feat=False, max_per_tile=512, binning=binning,
+            emit_kfin=emit)
+
+    def binning_of(s):
+        return compute_binning(
+            s.params.xyz, jnp.exp(s.params.scaling), s.params.rotation,
+            s.valid, view.world_view, view.full_proj, view.tan_fovx,
+            view.tan_fovy, width=W, height=H, cfg=CFG_P, max_per_tile=512,
+            opacity=jax.nn.sigmoid(s.params.opacity[:, 0]))
+
+    refresh, groups = 4, 3
+    st_exact = st_trim = st
+    b, kfin = None, None
+    losses_exact, losses_trim = [], []
+    pretrimmed_any = False
+    for i in range(groups * refresh):
+        st_exact, aux = step(st_exact, i=float(i))
+        losses_exact.append(float(aux.loss))
+        if i % refresh == 0:
+            b = binning_of(st_trim)
+            if kfin is not None:  # the trim-fresh pre-trim
+                pb = trim_binning(b[0], kfin, max_pairs=CFG_P.max_pairs,
+                                  chunk=CFG_P.chunk, slack_chunks=2)
+                pretrimmed_any |= \
+                    int(pb.num_rendered) < int(b[0].num_rendered)
+                b = (pb, b[1])
+            st_trim, auxt = step(st_trim, binning=b, i=float(i), emit=True)
+            kfin = auxt.kfin
+            tb = trim_binning(b[0], kfin, max_pairs=CFG_P.max_pairs,
+                              chunk=CFG_P.chunk, slack_chunks=1)
+            b = (tb, b[1])
+        else:
+            st_trim, auxt = step(st_trim, binning=b, i=float(i))
+        losses_trim.append(float(auxt.loss))
+    assert pretrimmed_any, "opaque scene never pre-trimmed a refresh step"
+    assert losses_trim[-1] < losses_trim[0]
+    assert abs(losses_trim[-1] - losses_exact[-1]) < \
+        0.05 * abs(losses_exact[-1]) + 1e-3, (losses_exact, losses_trim)
+
+
+def test_mapper_trim_fresh(monkeypatch, tmp_path):
+    """The mapper pre-trims refresh steps at the stored watermark
+    (slack_chunks=2 calls), stores each refresh's kfin, and re-measures
+    untrimmed once the watermark's age exceeds trim_fresh_max_age."""
+    from legslam_tpu.data.synthetic import SyntheticDataset
+    from legslam_tpu.mapper import mapper as mapper_mod
+    from legslam_tpu.mapper.mapper import GaussianMapper
+    from legslam_tpu.slam.trajectory import TrajectoryFrontend
+    from legslam_tpu.config import MapperParams, OptimizationParams
+
+    cfg = dataclasses.replace(CFG_P, max_pairs=8192)
+    ds = SyntheticDataset(n_frames=4, width=128, height=64,
+                          n_gaussians=500, seed=7, clutter_ratio=0.0)
+    frontend = TrajectoryFrontend(ds.intrinsics, kf_stride=2,
+                                  max_corners=200)
+    mapper = GaussianMapper(
+        frontend.queue, ds.intrinsics,
+        opt=OptimizationParams(densify_from_iter=10 ** 9,
+                               opacity_reset_interval=0, iterations=100),
+        mp=MapperParams(min_num_initial_map_kfs=2, depth_cache=2),
+        cfg=cfg, capacity=1 << 12, result_dir=str(tmp_path),
+        max_per_tile=512, include_lang_feat=False,
+        binning_refresh_interval=2, binning_trim=True,
+        binning_trim_fresh=True)
+    mapper.trim_fresh_max_age = 1  # force a full re-measure quickly
+    for frame in ds:
+        frontend.track(frame)
+    frontend.finish()
+    mapper.drain_operations()
+    mapper.initialize_map()
+
+    slacks = []
+    real = mapper_mod._trim_binning_jit
+
+    def spy(b, kfin, **kw):
+        slacks.append(kw.get("slack_chunks", 1))
+        return real(b, kfin, **kw)
+
+    monkeypatch.setattr(mapper_mod, "_trim_binning_jit", spy)
+    losses = []
+    for _ in range(10):
+        mapper.train_iteration()
+        losses.append(float(mapper._last_aux.loss))
+    assert np.isfinite(losses).all()
+    assert 2 in slacks, f"no pre-trim ran: slacks={slacks}"
+    assert mapper._kfin_cache, "watermark store never populated"
+    # ages stay bounded by the re-measure guard
+    assert all(age <= mapper.trim_fresh_max_age
+               for age, _ in mapper._kfin_cache.values())
+    # surgery invalidation clears the watermark store too
+    mapper._invalidate_binning()
+    assert not mapper._kfin_cache
+
+
 def test_mapper_trims_cached_binning(monkeypatch, tmp_path):
     """The refresh step replaces its cache entry with the trimmed binning,
     reuse steps consume the trimmed object, and training stays finite."""
