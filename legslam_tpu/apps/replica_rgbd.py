@@ -76,10 +76,10 @@ def main(argv=None):
                              "axis; parallel/spatial.py)")
     parser.add_argument("--shard-store", action="store_true",
                         help="capacity-shard (FSDP-style) the gaussian "
-                             "store over the strip mesh axis — each "
-                             "device owns capacity/D rows "
-                             "(parallel/capacity.py; needs "
-                             "--spatial-strips > 1)")
+                             "store over the mesh — each device owns "
+                             "capacity/D rows (parallel/capacity.py; "
+                             "composes with --spatial-strips or stands "
+                             "alone on a 1D data mesh)")
     parser.add_argument("--binning-refresh", type=int, default=4,
                         help="per-view binning cache interval (1 = exact)")
     parser.add_argument("--profile-dir", default=None,
@@ -147,7 +147,8 @@ def main(argv=None):
         from legslam_tpu.slam.tracking import TrackingFrontend
         frontend = TrackingFrontend(
             intr, sensor=sensor,
-            stereo_baseline=getattr(ds, "baseline", 0.0))
+            stereo_baseline=intr.get("stereo_baseline",
+                                     getattr(ds, "baseline", 0.0)))
     else:
         frontend = TrajectoryFrontend(intr, kf_stride=args.kf_stride)
     mapper = GaussianMapper(frontend.queue, intr, opt=opt, mp=mp, cfg=cfg,

@@ -231,17 +231,50 @@ def load_opencv_yaml(path: str) -> dict:
     """
     out: dict = {}
     with open(path, "r") as f:
-        for line in f:
-            line = line.split("#", 1)[0].strip()
-            if not line or line.startswith("%") or line.startswith("---"):
-                continue
-            if ":" not in line:
-                continue
-            key, _, value = line.partition(":")
-            key, value = key.strip(), value.strip().strip('"')
-            if not value:
-                continue
-            out[key] = _coerce(value)
+        lines = f.readlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].split("#", 1)[0].strip()
+        i += 1
+        if not line or line.startswith("%") or line.startswith("---"):
+            continue
+        if ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip(), value.strip().strip('"')
+        if value == "!!opencv-matrix":
+            # multi-line matrix block (rows/cols/dt/data, data may wrap;
+            # cv::FileStorage syntax, e.g. Stereo.T_c1_c2 in
+            # cfg/ORB_SLAM3/Stereo/EuRoC/EuRoC.yaml)
+            rows = cols = 0
+            buf = ""
+            in_data = False
+            while i < len(lines):
+                sub = lines[i].split("#", 1)[0].strip()
+                if not in_data and sub and not sub.startswith(
+                        ("rows:", "cols:", "dt:", "data:")):
+                    break
+                i += 1
+                if sub.startswith("rows:"):
+                    rows = int(sub.split(":", 1)[1])
+                elif sub.startswith("cols:"):
+                    cols = int(sub.split(":", 1)[1])
+                elif sub.startswith("data:"):
+                    in_data = True
+                    buf += sub.split(":", 1)[1]
+                elif in_data:
+                    buf += " " + sub
+                if in_data and "]" in buf:
+                    break
+            vals = [float(v) for v in
+                    buf.strip().lstrip("[").rstrip("]").replace(",", " ")
+                    .split()]
+            import numpy as _np
+            out[key] = _np.asarray(vals, _np.float64).reshape(rows, cols)
+            continue
+        if not value:
+            continue
+        out[key] = _coerce(value)
     return out
 
 
@@ -333,6 +366,13 @@ def intrinsics_from_yaml(cfg: dict) -> dict:
         intr["depth_scale"] = float(cfg["RGBD.DepthMapFactor"])
     if "Stereo.b" in cfg:
         intr["stereo_baseline"] = float(cfg["Stereo.b"])
+    elif "Stereo.T_c1_c2" in cfg:
+        # EuRoC-style extrinsic calibration: baseline = ||translation||
+        # of the cam1->cam2 transform (cfg/ORB_SLAM3/Stereo/EuRoC/
+        # EuRoC.yaml Stereo.T_c1_c2)
+        import numpy as _np
+        T = _np.asarray(cfg["Stereo.T_c1_c2"], _np.float64)
+        intr["stereo_baseline"] = float(_np.linalg.norm(T[:3, 3]))
     return intr
 
 

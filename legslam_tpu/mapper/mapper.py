@@ -177,12 +177,12 @@ class GaussianMapper:
             raise ValueError(
                 f"spatial_strips must be >= 1, got {spatial_strips}")
         self.spatial_strips = spatial_strips
-        # capacity-sharded (FSDP-style) store over the spatial mesh
-        # (parallel/capacity.py): persistent store memory ~1/D per device
-        if shard_store and spatial_strips <= 1:
-            raise ValueError(
-                "shard_store=True needs spatial_strips > 1 (the store "
-                "shards over the strip mesh axis)")
+        # capacity-sharded (FSDP-style) store (parallel/capacity.py):
+        # persistent store memory ~1/D per device. Composes with
+        # spatial_strips (store + pixels shard over the same axis) but
+        # also stands alone on a plain 1D data mesh — the single-view
+        # step then all-gathers the render working set inside the loss
+        # (train_step gather_mesh) and keeps Adam/stats sharded.
         self.shard_store = shard_store
         self._mesh = mesh
         if mesh is None and n_views > 1 and spatial_strips > 1:
@@ -208,6 +208,15 @@ class GaussianMapper:
             while size % nd:
                 nd -= 1
             self._mesh = sharded.make_mesh(nd)
+        elif mesh is None and shard_store:
+            # store-only sharding: 1D data mesh over every device whose
+            # count divides the (power-of-two) capacity
+            from legslam_tpu.parallel import sharded
+            nd = len(jax.devices())
+            while capacity % nd:
+                nd -= 1
+            if nd > 1:
+                self._mesh = sharded.make_mesh(nd)
 
     # ------------------------------------------------------------------
     # Bridge ingestion (combineMappingOperations, gaussian_mapper.cpp:829)
@@ -665,6 +674,14 @@ class GaussianMapper:
                 kf, lvl, view, gt_color, gt_lf, gt_depth, mask,
                 include_lf, lr_step)
         else:
+            gather_mesh = None
+            if self.shard_store and self._mesh is not None and \
+                    self._mesh.devices.size > 1:
+                # capacity-sharded store on the 1D mesh: re-place (no-op
+                # when already sharded), all-gather inside the loss
+                from legslam_tpu.parallel import capacity
+                self.state = capacity.shard_state(self.state, self._mesh)
+                gather_mesh = self._mesh
             binning = self._get_binning(kf, lvl, view)
             emit = bool(
                 self.binning_trim and self._binning_fresh
@@ -694,7 +711,7 @@ class GaussianMapper:
                 active_sh_degree=self.active_sh_degree, opt=opt,
                 cfg=self.cfg, include_lang_feat=include_lf,
                 max_per_tile=self.max_per_tile, binning=binning,
-                emit_kfin=emit)
+                emit_kfin=emit, gather_mesh=gather_mesh)
             if emit and aux.kfin is not None:
                 # trim the just-cached binning at the refresh step's
                 # termination watermark for the remaining reuse steps

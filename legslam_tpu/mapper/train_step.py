@@ -62,7 +62,8 @@ def make_lrs(opt: OptimizationParams, spatial_lr_scale,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "active_sh_degree", "opt", "cfg",
-                     "include_lang_feat", "max_per_tile", "emit_kfin"))
+                     "include_lang_feat", "max_per_tile", "emit_kfin",
+                     "gather_mesh"))
 def train_step(state: G.GaussianState,
                world_view: jnp.ndarray, full_proj: jnp.ndarray,
                cam_center: jnp.ndarray, tan_fovx, tan_fovy,
@@ -72,24 +73,44 @@ def train_step(state: G.GaussianState,
                *, width: int, height: int, active_sh_degree: int,
                opt: OptimizationParams, cfg: RasterizeConfig,
                include_lang_feat: bool = True, max_per_tile: int = 2048,
-               binning=None, emit_kfin: bool = False):
+               binning=None, emit_kfin: bool = False, gather_mesh=None):
     """One optimization iteration. Returns (new_state, StepAux).
 
     `binning` (optional): a cached (Binning, overflow) pair from
     ops.rasterize.compute_binning — skips the sort-dominated prep pipeline
     for views whose geometry hasn't moved materially since the cache was
-    built (mapper binning_refresh_interval)."""
+    built (mapper binning_refresh_interval).
+
+    `gather_mesh` (optional): capacity-sharded (FSDP-style) store on a
+    plain 1D data mesh (parallel/capacity.py) WITHOUT strip rendering —
+    the parameter shards pass through a replicated sharding constraint
+    inside the loss (forward = all-gather of the render working set over
+    ICI, transpose = gradient cotangents routed back to the owner
+    shards) while Adam moments / densify stats stay sharded.
+    Semantically the identity; persistent store memory ~1/D per device."""
     from legslam_tpu.ops.rasterize import render_arrays
 
     p = state.params
     offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+    if gather_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(gather_mesh, P())
+        gather = lambda t: jax.lax.with_sharding_constraint(t, rep)  # noqa: E731
+        valid_full = gather(state.valid)
+    else:
+        gather = lambda t: t  # noqa: E731
+        valid_full = state.valid
 
     def loss_fn(xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation,
                 mean2d_offset):
+        (xyz, f_dc, f_rest, lang_feat, opacity, scaling, rotation,
+         mean2d_offset) = map(gather, (xyz, f_dc, f_rest, lang_feat,
+                                       opacity, scaling, rotation,
+                                       mean2d_offset))
         sh = jnp.concatenate([f_dc, f_rest], axis=1)
         out = render_arrays(
             xyz, sh, lang_feat, jax.nn.sigmoid(opacity[:, 0]),
-            jnp.exp(scaling), rotation, state.valid, world_view, full_proj,
+            jnp.exp(scaling), rotation, valid_full, world_view, full_proj,
             cam_center, tan_fovx, tan_fovy, width, height, bg,
             active_sh_degree, cfg, include_lang_feat=include_lang_feat,
             mean2d_offset=mean2d_offset, max_per_tile=max_per_tile,

@@ -597,11 +597,14 @@ class TrackingFrontend:
                  cull_redundancy: float = 0.95,
                  loop_min_gap: int = 10, loop_radius: float = 0.3,
                  loop_appearance_th: float = 0.4,
+                 loop_desc_th: float = 0.12,
+                 loop_consistency: int = 2,
                  enable_loop_closing: bool = True,
                  max_keyframes_live: int = 0, seed: int = 0,
                  sensor: str = "rgbd",
                  reloc_after: int = 2, reanchor_after: int = 12,
                  reloc_appearance_th: float = 0.35,
+                 reloc_desc_th: float = 0.10,
                  mono_init_parallax: float = 12.0,
                  mono_depth_gauge: float = 2.5,
                  scale_refine_kfs: int = 3,
@@ -632,12 +635,15 @@ class TrackingFrontend:
         self.loop_min_gap = loop_min_gap
         self.loop_radius = loop_radius
         self.loop_appearance_th = loop_appearance_th
+        self.loop_desc_th = loop_desc_th
+        self.loop_consistency = loop_consistency
         self.enable_loop_closing = enable_loop_closing
         self.max_keyframes_live = max_keyframes_live
         self.sensor = sensor
         self.reloc_after = reloc_after
         self.reanchor_after = reanchor_after
         self.reloc_appearance_th = reloc_appearance_th
+        self.reloc_desc_th = reloc_desc_th
         self.mono_init_parallax = mono_init_parallax
         self.mono_depth_gauge = mono_depth_gauge
         self.scale_refine_kfs = scale_refine_kfs
@@ -656,6 +662,16 @@ class TrackingFrontend:
         # ORB-SLAM3/src/KeyFrame.cc ComputeBoW)
         self._kf_pooled: dict[int, np.ndarray] = {}
         self._kf_thumb: dict[int, np.ndarray] = {}
+        # per-KF patch descriptors + keypoint pixels for the
+        # place-recognition score (_place_score): pooled correlation alone
+        # aliases on repeated structure — descriptors + shift-coherence
+        # voting discriminate places that pool similarly but differ in
+        # local detail (the role DBoW2 plays in ORB-SLAM3,
+        # LoopClosing.cc DetectLoop)
+        self._kf_desc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # temporal consistency of loop candidates (consistency groups,
+        # LoopClosing.cc:~DetectLoop): (anchor kf-order index, hits)
+        self._loop_pending: Optional[tuple[int, int]] = None
         # active tracks: parallel arrays
         self._track_lm: np.ndarray = np.zeros((0,), np.int64)
         self._track_px: np.ndarray = np.zeros((0, 2), np.float32)
@@ -982,6 +998,12 @@ class TrackingFrontend:
     def _register_kf_appearance(self, fid: int, gray: np.ndarray) -> None:
         self._kf_pooled[fid] = _pool_gray(gray)
         self._kf_thumb[fid] = _thumb(gray)
+        self._kf_desc[fid] = _patch_descriptors(
+            gray, detect_corners(gray, 200))
+
+    def _query_desc(self, gray: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        return _patch_descriptors(gray, detect_corners(gray, 200))
 
     def _shortlist(self, gray: np.ndarray, fids: list[int], top_m: int
                    ) -> list[int]:
@@ -1001,13 +1023,21 @@ class TrackingFrontend:
         """Pose recovery against the keyframe store. Returns True (and
         updates _cur_R/_cur_t) on success."""
         a = _pool_gray(gray)
+        qd, qp = self._query_desc(gray)
         scored = []
         for fid in self._shortlist(gray, self._kf_order, 8):
-            scored.append((_peak_corr(a, self._kf_pooled[fid]), fid))
+            pc = _peak_corr(a, self._kf_pooled[fid])
+            ent = self._kf_desc.get(fid)
+            coh = _place_score(qd, qp, ent[0], ent[1]) if ent else 0.0
+            # descriptor coherence ranks first — among look-alike places
+            # (similar pooled correlation) it picks the true one; the
+            # peak correlation breaks ties and keeps the absolute gate
+            scored.append(((coh, pc), fid))
         scored.sort(reverse=True)
-        for score, fid in scored[:3]:
-            if score < self.reloc_appearance_th:
-                break
+        passing = [(k, fid) for k, fid in scored
+                   if k[0] >= self.reloc_desc_th
+                   and k[1] >= self.reloc_appearance_th]
+        for (coh, score), fid in passing[:3]:
             kf = self.keyframes[fid]
             if self.sensor == "mono":
                 if self._reloc_mono_against(kf, gray):
@@ -1644,6 +1674,7 @@ class TrackingFrontend:
         self._kf_order.remove(fid)
         self._kf_pooled.pop(fid, None)
         self._kf_thumb.pop(fid, None)
+        self._kf_desc.pop(fid, None)
         kf = self.keyframes.pop(fid, None)
         if kf is not None:  # freeze for trajectory reconstruction
             T = np.eye(4, dtype=np.float32)
@@ -1675,13 +1706,41 @@ class TrackingFrontend:
             # generous pose gate only to cut absurd candidates; drift-safe
             if np.linalg.norm(c_now - c_old) <= 6.0 * self.loop_radius:
                 gated.append(old_fid)
-        best, best_fid = self.loop_appearance_th, None
+        # candidate scoring: pooled peak-correlation (shift-invariant
+        # global appearance) AND the descriptor shift-coherence place
+        # score (_place_score) — peak_corr alone aliases on repeated
+        # structure (near-identical rooms pool identically); descriptors
+        # + coherent-shift voting discriminate local detail, the role
+        # DBoW2 plays in the reference (LoopClosing.cc DetectLoop)
+        qd, qp = self._kf_desc.get(kf.fid) or self._query_desc(kf.gray)
+        best, best_fid = self.loop_desc_th, None
         for old_fid in self._shortlist(kf.gray, gated, 8):
-            score = _peak_corr(a, self._kf_pooled[old_fid])
-            if score > best:
-                best, best_fid = score, old_fid
+            if _peak_corr(a, self._kf_pooled[old_fid]) <= \
+                    self.loop_appearance_th:
+                continue
+            ent = self._kf_desc.get(old_fid)
+            if ent is None:
+                continue
+            coh = _place_score(qd, qp, ent[0], ent[1])
+            if coh > best:
+                best, best_fid = coh, old_fid
         if best_fid is None:
+            self._loop_pending = None
             return
+        # temporal consistency (the reference's consistency groups,
+        # LoopClosing.cc DetectLoop): the same anchor region must score
+        # for `loop_consistency` consecutive keyframes before the
+        # expensive geometric verification may accept — a single-KF
+        # appearance fluke cannot close a loop
+        a_ord = self._kf_order.index(best_fid)
+        if self.loop_consistency > 1:
+            if self._loop_pending is not None and \
+                    abs(self._loop_pending[0] - a_ord) <= 2:
+                self._loop_pending = (a_ord, self._loop_pending[1] + 1)
+            else:
+                self._loop_pending = (a_ord, 1)
+            if self._loop_pending[1] < self.loop_consistency:
+                return
         old = self.keyframes[best_fid]
         S_mc = None
         if self.sensor == "mono":
@@ -1802,6 +1861,7 @@ class TrackingFrontend:
         self.queue.push(MappingOperation(
             kind=OpKind.LOOP_CLOSE_BA, keyframes=packets))
         self.n_loop_closures += 1
+        self._loop_pending = None
 
     def _sim3_chain_correct(self, chain: list, P: np.ndarray,
                             T_corr: np.ndarray,
@@ -2033,3 +2093,75 @@ def _peak_corr(a: np.ndarray, b: np.ndarray) -> float:
     B = np.fft.rfft2(b)
     cc = np.fft.irfft2(A * np.conj(B), s=a.shape)
     return float(cc.max() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-6))
+
+
+def _patch_descriptors(gray: np.ndarray, px: np.ndarray, patch: int = 16,
+                       out: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-mean unit-norm mean-pooled patch descriptors at keypoints.
+
+    ([M, out*out] f32, kept [M, 2] pixel coords). Border keypoints whose
+    patch falls outside the image and near-flat patches are dropped.
+    The local-detail half of the place-recognition score — the
+    counterpart of ORB descriptors feeding DBoW2 in the reference
+    (ORB-SLAM3 KeyFrame::ComputeBoW)."""
+    h, w = gray.shape
+    px = np.asarray(px, np.float32).reshape(-1, 2)
+    r = patch // 2
+    xs = np.round(px[:, 0]).astype(np.int64)
+    ys = np.round(px[:, 1]).astype(np.int64)
+    ok = (xs >= r) & (ys >= r) & (xs <= w - r) & (ys <= h - r)
+    xs, ys = xs[ok], ys[ok]
+    if not len(xs):
+        return (np.zeros((0, out * out), np.float32),
+                np.zeros((0, 2), np.float32))
+    dy = np.arange(-r, r)
+    g = gray.astype(np.float32)
+    # [M, patch, patch] gather, pooled to [M, out, out]
+    p = g[(ys[:, None, None] + dy[None, :, None]),
+          (xs[:, None, None] + dy[None, None, :])]
+    f = patch // out
+    p = p.reshape(-1, out, f, out, f).mean((2, 4))
+    v = p.reshape(-1, out * out)
+    v = v - v.mean(axis=1, keepdims=True)
+    n = np.linalg.norm(v, axis=1)
+    keep = n > 1e-3
+    v = v[keep] / n[keep, None]
+    return v.astype(np.float32), px[ok][keep]
+
+
+def _place_score(desc_q: np.ndarray, px_q: np.ndarray,
+                 desc_c: np.ndarray, px_c: np.ndarray,
+                 cos_th: float = 0.85, ratio: float = 0.9,
+                 bin_px: int = 12) -> float:
+    """Descriptor-based place-recognition score in [0, 1]: fraction of
+    query keypoints whose mutual-best ratio-tested descriptor match agrees
+    with the dominant 2D shift (coarse-bin voting with half-bin offsets).
+
+    Shift-coherence is the weak geometric verification: an in-place
+    revisit (even drift-shifted) produces one dominant shift cluster,
+    while a perceptually-aliased different place yields matches with
+    incoherent shifts. Measured on synthetic aliased rooms (locally
+    color-shuffled clone of the same geometry): true revisit ~0.2 vs
+    aliased ~0.08 at the loop operating point — the discrimination
+    pooled peak-correlation lacks (clone peak_corr 0.47 vs true 0.51)."""
+    if len(desc_q) < 8 or len(desc_c) < 8:
+        return 0.0
+    S = desc_q @ desc_c.T
+    j = np.argmax(S, axis=1)
+    best = S[np.arange(len(desc_q)), j]
+    i_back = np.argmax(S, axis=0)
+    mutual = i_back[j] == np.arange(len(desc_q))
+    second = -np.partition(-S, 1, axis=1)[:, 1]
+    d1 = np.sqrt(np.maximum(2.0 - 2.0 * best, 0.0))
+    d2 = np.sqrt(np.maximum(2.0 - 2.0 * second, 1e-12))
+    good = (best > cos_th) & mutual & (d1 < ratio * d2)
+    if good.sum() < 4:
+        return 0.0
+    shifts = px_q[good] - px_c[j[good]]
+    bins = np.round(shifts / bin_px).astype(np.int64)
+    # vote each match into its bin and the 3 neighbors (half-bin offsets)
+    # so a cluster straddling a bin edge still concentrates
+    cands = np.concatenate([bins + d for d in
+                            ([0, 0], [0, 1], [1, 0], [1, 1])])
+    _, counts = np.unique(cands, axis=0, return_counts=True)
+    return float(counts.max()) / max(len(desc_q), 1)

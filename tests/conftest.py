@@ -52,6 +52,14 @@ _SMOKE = {
     "test_gaussians.py::test_adam_matches_torch",
     "test_gaussians.py::test_densify_clone_and_split",
     "test_losses.py",
+    # frontend/mapper representatives so perf commits can't silently
+    # break tracking (VERDICT r3 weak #7): the full visual frontend over
+    # the native C++ kernels (~65 s), the pose-estimation units, and the
+    # pose-graph solver behind loop closing
+    "test_native_tracking.py",
+    "test_tracking.py::test_rigid_align_recovers_exact_pose",
+    "test_tracking.py::test_ransac_rejects_outliers",
+    "test_pose_graph.py",
 }
 
 

@@ -147,6 +147,73 @@ def test_replica_layout_cli_end_to_end(replica_scene, mapper_yaml,
     assert psnr > 12.0, psnr
 
 
+CAMERA_YAML_TMPL = """%YAML:1.0
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: {fx}
+Camera1.fy: {fy}
+Camera1.cx: {cx}
+Camera1.cy: {cy}
+Camera.width: {w}
+Camera.height: {h}
+Stereo.T_c1_c2: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [1,0,0,{b}, 0,1,0,0, 0,0,1,0, 0,0,0,1]
+"""
+
+
+@pytest.mark.slow
+def test_euroc_stereo_cli_end_to_end(mapper_yaml, tmp_path):
+    """EuRoC ASL layout driven through `--frontend visual --sensor stereo
+    --camera-cfg` — the stereo sensor mode runs off the config contract
+    (camera yaml supplies intrinsics + the T_c1_c2 baseline) like RGB-D
+    does (reference cfg/ORB_SLAM3/Stereo/EuRoC; VERDICT r3 #8)."""
+    from legslam_tpu.apps.replica_rgbd import main
+    from legslam_tpu.data.datasets import EuRoCStereoDataset, open_dataset
+    from tests.util import make_euroc_dir
+
+    # synthetic rectified stereo pairs: left renders + disparity warp
+    # (fx*b/z must land inside the SGM search window, like EuRoC's
+    # fx=458/b=0.11 at room depth)
+    baseline = 0.5
+    ds = SyntheticDataset(n_frames=N_FRAMES, width=256, height=144,
+                          n_gaussians=6000, seed=11, clutter_ratio=0.0,
+                          revolutions=0.15)
+    fx = ds.intrinsics["fx"]
+    frames = []
+    # _right_view warps at its module BASELINE (0.5) — keep ours equal
+    from tests.test_tracking_stereo import BASELINE as _warp_baseline
+    from tests.test_tracking_stereo import _right_view
+    assert _warp_baseline == baseline
+    for fr in ds:
+        right = _right_view(fr.color, fr.depth, fx)
+        frames.append((fr.color, right, fr.c2w))
+    scene = make_euroc_dir(tmp_path, n=N_FRAMES, width=256, height=144,
+                           baseline=baseline, frames=frames,
+                           intrinsics=(fx, ds.intrinsics["fy"],
+                                       ds.intrinsics["cx"],
+                                       ds.intrinsics["cy"]),
+                           distortion=(0.0, 0.0, 0.0, 0.0))
+    assert isinstance(open_dataset(scene), EuRoCStereoDataset)
+    cam_yaml = tmp_path / "stereo_cam.yaml"
+    cam_yaml.write_text(CAMERA_YAML_TMPL.format(
+        fx=fx, fy=ds.intrinsics["fy"], cx=ds.intrinsics["cx"],
+        cy=ds.intrinsics["cy"], w=256, h=144, b=baseline))
+    out = str(tmp_path / "run")
+    main(["--data", scene, "--out", out, "--cfg", mapper_yaml,
+          "--camera-cfg", str(cam_yaml), "--frontend", "visual",
+          "--sensor", "stereo"] + FAST_ARGS)
+    # a map was built from SGM-recovered depth and artifacts exist
+    base = os.path.join(out, "experiment", "ply")
+    from legslam_tpu.utils import ply
+    data = ply.load_gaussian_ply(
+        os.path.join(base, "point_cloud", "point_cloud.ply"))
+    assert data["xyz"].shape[0] > 100
+    assert os.path.exists(os.path.join(out, "CameraTrajectory_TUM.txt"))
+
+
 @pytest.mark.slow
 def test_scannet_layout_cli_end_to_end(scannet_scene, mapper_yaml,
                                        tmp_path):

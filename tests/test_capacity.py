@@ -103,6 +103,40 @@ def test_sharded_store_matches_replicated_step(tmp_path):
                                np.asarray(m2.state.adam_v.xyz), atol=1e-7)
 
 
+def test_sharded_store_without_strips_matches_plain(tmp_path):
+    """shard_store on a plain 1D data mesh (spatial_strips=1): the
+    single-view step all-gathers inside the loss (train_step
+    gather_mesh), keeps the store sharded, and matches the unsharded
+    single-device mapper exactly."""
+    ds1, m1 = _fed_mapper(tmp_path, strips=1, shard_store=False)
+    ds2, m2 = _fed_mapper(tmp_path, strips=1, shard_store=True)
+    assert m2._mesh is not None and m2._mesh.devices.size == 8
+    for m in (m1, m2):
+        m.drain_operations(limit=64)
+        if not m.has_met_initial_conditions():
+            pytest.skip("synthetic frontend produced too few keyframes")
+        m.initialize_map()
+    fid = sorted(m1.keyframes)[0]
+    m1._kf_cycle = [fid]
+    m2._kf_cycle = [fid]
+    for _ in range(2):
+        m1.train_iteration()
+        m2.train_iteration()
+    spec = m2.state.params.xyz.sharding.spec
+    assert spec != P() and spec is not None, spec
+    assert m2.state.params.xyz.addressable_shards[0].data.shape[0] == \
+        m2.state.capacity // 8
+    for name in ("xyz", "opacity", "scaling", "rotation"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(m1.state.params, name)),
+            np.asarray(getattr(m2.state.params, name)),
+            atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(m1.state.stats.denom),
+                               np.asarray(m2.state.stats.denom), atol=0)
+    np.testing.assert_allclose(np.asarray(m1.state.adam_v.xyz),
+                               np.asarray(m2.state.adam_v.xyz), atol=1e-7)
+
+
 @pytest.mark.slow
 def test_sharded_store_mapper_runs(tmp_path):
     """Full mapper loop (scheduling, densify surgery, culling) on the

@@ -72,47 +72,9 @@ def test_kitti_format(tmp_path):
 
 @pytest.fixture
 def euroc_dir(tmp_path):
-    cv2 = pytest.importorskip("cv2")
-    mav = tmp_path / "seq" / "mav0"
-    rng = np.random.default_rng(3)
-    t0 = 1403636579763555584
-    for cam in ("cam0", "cam1"):
-        d = mav / cam / "data"
-        d.mkdir(parents=True)
-        with open(mav / cam / "data.csv", "w") as f:
-            f.write("#timestamp [ns],filename\n")
-            for i in range(5):
-                ts = t0 + i * 50_000_000 + (7 if cam == "cam1" else 0)
-                name = f"{ts}.png"
-                img = (rng.uniform(0, 255, size=(48, 64, 3))
-                       .astype(np.uint8))
-                cv2.imwrite(str(d / name), img)
-                f.write(f"{ts},{name}\n")
-        with open(mav / cam / "sensor.yaml", "w") as f:
-            off = 0.11 if cam == "cam1" else 0.0
-            f.write(
-                "sensor_type: camera\n"
-                "T_BS:\n  rows: 4\n  cols: 4\n"
-                f"  data: [1,0,0,{off}, 0,1,0,0, 0,0,1,0, 0,0,0,1]\n"
-                "resolution: [64, 48]\n"
-                "intrinsics: [458.654, 457.296, 367.215, 248.375]\n"
-                "distortion_coefficients: "
-                "[-0.28, 0.07, 0.0002, 0.00002]\n")
-    gt = mav / "state_groundtruth_estimate0"
-    gt.mkdir(parents=True)
-    with open(gt / "data.csv", "w") as f:
-        f.write("#timestamp,px,py,pz,qw,qx,qy,qz\n")
-        for i in range(5):
-            ts = t0 + i * 50_000_000
-            f.write(f"{ts},{0.1 * i},{0.02 * i},0.0,1,0,0,0\n")
-    imu = mav / "imu0"
-    imu.mkdir(parents=True)
-    with open(imu / "data.csv", "w") as f:
-        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
-        for k in range(45):          # 200 Hz-ish, spanning all 5 frames
-            ts = t0 - 10_000_000 + k * 5_000_000
-            f.write(f"{ts},0.01,0.0,-0.02,0.1,0.0,9.81\n")
-    return str(tmp_path / "seq")
+    pytest.importorskip("cv2")
+    from tests.util import make_euroc_dir
+    return make_euroc_dir(tmp_path)
 
 
 def test_euroc_loader(euroc_dir):
