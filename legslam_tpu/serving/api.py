@@ -53,11 +53,17 @@ def handle_find_objects(state: ServiceState, payload: dict) -> dict:
     from legslam_tpu.eval_harness.find_objects import (
         find_objects_in_gaussians,
     )
-    query = payload["query"]
     g = state.gaussians(payload.get("ply_path"))
-    if state.text_encoder is None:
-        raise ValueError("text encoder not configured on the server")
-    text_emb = np.asarray(state.text_encoder([query]))[0]
+    if "text_emb" in payload:
+        # precomputed [64] embedding (the CLI's --text-emb route): works
+        # on servers without converted encoder weights
+        query = payload.get("query", "<precomputed>")
+        text_emb = np.asarray(payload["text_emb"], np.float32).reshape(-1)
+    else:
+        query = payload["query"]
+        if state.text_encoder is None:
+            raise ValueError("text encoder not configured on the server")
+        text_emb = np.asarray(state.text_encoder([query]))[0]
     dets = find_objects_in_gaussians(g["xyz"], g["lang_feat"], text_emb)
     top_k = int(payload.get("top_k", 5))
     return dict(query=query, objects=[
