@@ -8,15 +8,28 @@ equivalent — SURVEY.md §4 notes it tests end-to-end only)."""
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from legslam_tpu.config import RasterizeConfig
 from legslam_tpu.data.datasets import BaseDataset, RGBDFrame
-from legslam_tpu.ops.rasterize import rasterize
+from legslam_tpu.ops.rasterize import rasterize, render_arrays
 from legslam_tpu.utils.camera import CameraView
+
+# GT renders go through ONE jitted executable per (shape, cfg): the eager
+# rasterize() path dispatches hundreds of ops per frame, which costs ~19 ms
+# each over the axon tunnel (measured 83 s/frame at 1200x680 — 2004 s of
+# pre-render in a system-bench run). Static args hash by value.
+_render_jit = jax.jit(
+    render_arrays,
+    static_argnames=("width", "height", "active_sh_degree", "cfg",
+                     "include_lang_feat", "max_per_tile"))
 
 
 def _look_at(eye, target, up=(0.0, -1.0, 0.0)):
@@ -84,7 +97,40 @@ class SyntheticDataset(BaseDataset):
                     scales=self._scales, opacity=self._opacity,
                     quats=self._quats)
 
-    def read(self, i: int) -> RGBDFrame:
+    def cache_key(self) -> str:
+        """Digest of everything a frame depends on (scene + poses + cfg),
+        for the on-disk preload cache."""
+        h = hashlib.sha1()
+        for a in (self._xyz, self._colors, self._scales, self._opacity,
+                  np.asarray(self._poses, np.float32)):
+            h.update(np.ascontiguousarray(a).tobytes())
+        h.update(json.dumps(
+            [self.intrinsics, repr(self._cfg), 2],
+            sort_keys=True).encode())
+        return h.hexdigest()[:16]
+
+    def preload(self, cache_dir: str = "/tmp/legslam_gt_cache") -> None:
+        """Render (or load) ALL frames into the in-memory cache, backed by
+        an npz on disk. On the axon TPU a cold preload pays one remote
+        compile; every later process with the same scene is a file read."""
+        if len(self._cache) == self._n:
+            return
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir, f"gt_{self.cache_key()}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            for i in range(self._n):
+                self._cache[i] = RGBDFrame(
+                    index=i, timestamp=float(i), color=z["color"][i],
+                    depth=z["depth"][i], c2w=self._poses[i])
+            return
+        frames = [self.read(i, use_jit=True) for i in range(self._n)]
+        tmp = path[:-4] + f".tmp{os.getpid()}.npz"
+        np.savez(tmp, color=np.stack([f.color for f in frames]),
+                 depth=np.stack([f.depth for f in frames]))
+        os.replace(tmp, path)
+
+    def read(self, i: int, use_jit: bool = False) -> RGBDFrame:
         if i in self._cache:
             return self._cache[i]
         intr = self.intrinsics
@@ -96,11 +142,28 @@ class SyntheticDataset(BaseDataset):
         from legslam_tpu.utils.sh import rgb_to_sh
         sh = np.zeros((self._xyz.shape[0], 16, 3), np.float32)
         sh[:, 0] = np.asarray(rgb_to_sh(self._colors))
-        out = rasterize(
-            self._xyz, sh, self._lf, self._opacity, self._scales,
-            self._quats, np.ones(self._xyz.shape[0], bool), view,
-            jnp.zeros(3), active_sh_degree=0, cfg=self._cfg,
-            max_per_tile=1024)
+        # use_jit (the preload path) renders through ONE compiled
+        # executable — essential on the axon TPU, where the eager path's
+        # per-op dispatches cost ~19 ms each (measured 83 s/frame at
+        # 1200x680). Default stays eager: jit-vs-eager reorders float
+        # ops by ~1e-6, which is below any quality bar but enough to
+        # perturb corner rankings in chaos-sensitive tracking tests.
+        if use_jit:
+            out = _render_jit(
+                jnp.asarray(self._xyz), jnp.asarray(sh),
+                jnp.asarray(self._lf), jnp.asarray(self._opacity),
+                jnp.asarray(self._scales), jnp.asarray(self._quats),
+                jnp.ones(self._xyz.shape[0], bool), view.world_view,
+                view.full_proj, view.cam_center, view.tan_fovx,
+                view.tan_fovy, width=intr["width"], height=intr["height"],
+                bg=jnp.zeros(3), active_sh_degree=0, cfg=self._cfg,
+                max_per_tile=1024)
+        else:
+            out = rasterize(
+                self._xyz, sh, self._lf, self._opacity, self._scales,
+                self._quats, np.ones(self._xyz.shape[0], bool), view,
+                jnp.zeros(3), active_sh_degree=0, cfg=self._cfg,
+                max_per_tile=1024)
         # sensor-like surface depth: the raw composite is alpha-weighted
         # (sums w_i * d_i with leftover transmittance unassigned), which
         # underestimates depth on soft/background pixels; normalize by the

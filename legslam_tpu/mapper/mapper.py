@@ -54,6 +54,31 @@ from legslam_tpu.ops.binning import trim_binning as _trim_binning  # noqa: E402
 _trim_binning_jit = jax.jit(
     _trim_binning, static_argnames=("max_pairs", "chunk", "slack_chunks"))
 
+# Static-shape jitted point ingest. increase_pcd traces over the batch
+# size, so calling it eagerly with the raw per-keyframe point count (a
+# DIFFERENT n every frame) compiles a fresh executable per keyframe —
+# measured 12-98 s per keyframe over the axon tunnel, 288 of 326 s of a
+# profiled 18-frame system run. Batches are padded to a power-of-two
+# bucket (point_valid masks the tail all the way through the 3-NN scale
+# init, so real rows are BIT-IDENTICAL to an unpadded call) giving a
+# handful of cached executables total.
+_ingest_jit = jax.jit(
+    lambda state, pts, cols, valid, iteration: G.increase_pcd(
+        state, pts, cols, iteration, point_valid=valid))
+
+_INGEST_MIN_BUCKET = 1024
+
+# Episodic store surgery, jitted: static capacity shapes, so each compiles
+# once; run eagerly they cost hundreds of ~19 ms dispatches over the axon
+# tunnel every densification_interval.
+_densify_jit = jax.jit(G.densify_and_prune)
+_reset_opacity_jit = jax.jit(G.reset_opacity)
+
+
+def _ingest_bucket(n: int, capacity: int) -> int:
+    b = max(_INGEST_MIN_BUCKET, 1 << max(n - 1, 1).bit_length())
+    return max(_INGEST_MIN_BUCKET, min(b, capacity))
+
 
 def nerfpp_norm(cam_centers: np.ndarray) -> tuple[np.ndarray, float]:
     """Scene translate/radius: 1.1 x max distance from the camera-center
@@ -264,7 +289,7 @@ class GaussianMapper:
         elif self.sensor_type == "stereo":
             world, cols = self._stereo_inactive_geometry(kf, packet)
         else:
-            world, cols = self._rgbd_inactive_geometry(kf)
+            world, cols = self._rgbd_inactive_geometry(kf, packet)
         kf.done_inactive_geo_densify = True
         if world is None or not len(world):
             return
@@ -274,11 +299,17 @@ class GaussianMapper:
         if self._kfs_since_densify_flush >= self.mp.depth_cache:
             self._flush_depth_cache()
 
-    def _rgbd_inactive_geometry(self, kf: MapKeyframe):
+    def _rgbd_inactive_geometry(self, kf: MapKeyframe, packet=None):
         if kf.gt_depth is None:
             return None, None
-        depth = np.asarray(kf.gt_depth[-1])
-        color = np.asarray(kf.gt_color[-1])
+        # the packet still holds the host copies — reading those avoids a
+        # ~13 MB device->host fetch per keyframe (19 ms+ tunnel trips)
+        if packet is not None and packet.depth is not None:
+            depth = np.asarray(packet.depth, np.float32)
+            color = np.asarray(packet.color, np.float32)
+        else:
+            depth = np.asarray(kf.gt_depth[-1])
+            color = np.asarray(kf.gt_color[-1])
         h, w = depth.shape
         kp = kf.kp_pixels
         has_mp = kf.kp_points_local is not None and \
@@ -347,6 +378,24 @@ class GaussianMapper:
         world = (pts[ok] - kf.t) @ kf.R
         return world, cols[ok]
 
+    def _increase_points(self, pts: np.ndarray, cols: np.ndarray) -> None:
+        """Ingest new points through the static-shape bucketed executable
+        (see _ingest_jit): pad to the bucket, mask the tail."""
+        n = pts.shape[0]
+        m = _ingest_bucket(n, self.capacity)
+        k = min(n, m)
+        pts_p = np.zeros((m, 3), np.float32)
+        cols_p = np.zeros((m, 3), np.float32)
+        valid = np.zeros((m,), bool)
+        pts_p[:k], cols_p[:k], valid[:k] = pts[:k], cols[:k], True
+        if n > m:  # beyond capacity: count the tail as overflow-dropped
+            self.state = self.state.replace(
+                overflow_dropped=self.state.overflow_dropped + (n - m))
+        self.state = _ingest_jit(
+            self.state, jnp.asarray(pts_p), jnp.asarray(cols_p),
+            jnp.asarray(valid), jnp.asarray(self.iteration, jnp.int32))
+        self._invalidate_binning()
+
     def _flush_depth_cache(self) -> None:
         if not self._depth_cache or self.state is None:
             self._kfs_since_densify_flush = 0
@@ -356,9 +405,7 @@ class GaussianMapper:
         self._depth_cache.clear()
         self._kfs_since_densify_flush = 0
         if pts.shape[0] >= self.mp.min_num_inactive_geo_densify:
-            self.state = G.increase_pcd(self.state, pts, cols,
-                                        self.iteration)
-            self._invalidate_binning()
+            self._increase_points(pts, cols)
 
     def handle_operation(self, op: MappingOperation) -> None:
         if op.kind == OpKind.LOCAL_BA:
@@ -367,10 +414,9 @@ class GaussianMapper:
             if op.points_xyz is not None and len(op.points_xyz) >= \
                     self.mp.min_num_inactive_geo_densify:
                 if self.state is not None:
-                    self.state = G.increase_pcd(
-                        self.state, op.points_xyz, op.points_color,
-                        self.iteration)
-                    self._invalidate_binning()
+                    self._increase_points(
+                        np.asarray(op.points_xyz, np.float32),
+                        np.asarray(op.points_color, np.float32))
                 else:
                     self._pending_points.append(
                         (op.points_xyz, op.points_color))
@@ -766,15 +812,15 @@ class GaussianMapper:
             if self.iteration > opt.densify_from_iter and \
                     self.iteration % opt.densification_interval == 0:
                 self.key, sub = jax.random.split(self.key)
-                self.state = G.densify_and_prune(
+                self.state = _densify_jit(
                     self.state, sub, opt.densify_grad_threshold,
-                    opt.densify_min_opacity, self.cameras_extent,
+                    opt.densify_min_opacity, float(self.cameras_extent),
                     opt.max_screen_size if self.big_points_on else None,
                     opt.percent_dense)
                 self._invalidate_binning()
             if opt.opacity_reset_interval > 0 and \
                     self.iteration % opt.opacity_reset_interval == 0:
-                self.state = G.reset_opacity(self.state)
+                self.state = _reset_opacity_jit(self.state)
                 self._invalidate_binning()
 
     def _train_iteration_batched(self) -> Optional[float]:

@@ -53,6 +53,10 @@ def _encode(dino_params: dict, pca_params: PCA.PCAParams, rgb: jnp.ndarray,
     b = rgb.shape[0]
     size = cfg.image_size
     grid = size // cfg.patch_size
+    if rgb.dtype == jnp.uint8:
+        # sensor-native path: ship the 4x-smaller u8 image over the host
+        # link (the reference uploads 8UC3 mats too) and scale on device
+        rgb = rgb.astype(jnp.float32) / 255.0
     x = jax.image.resize(rgb, (b, size, size, 3), method="linear")
     x = D.imagenet_normalize(x)
     feats = D.forward(dino_params, x, cfg, dtype=dtype)       # [B, G*G, 768]

@@ -136,12 +136,18 @@ def empty(capacity: int) -> GaussianState:
     )
 
 
-def _new_point_params(points, colors, lang_feat):
+def _new_point_params(points, colors, lang_feat, point_valid=None):
     """Shared init for create/increase (gaussian_model.cpp:140-167,236-255):
     SH DC from RGB, f_rest zero, scale log(sqrt(mean 3-NN sq dist)),
-    identity quat, opacity inverse_sigmoid(0.1)."""
+    identity quat, opacity inverse_sigmoid(0.1).
+
+    `point_valid` masks padded rows out of the 3-NN neighbor pool so a
+    shape-padded batch (the mapper's static-shape ingest buckets) yields
+    BIT-IDENTICAL params for the real rows as an unpadded call; padded
+    rows' params are arbitrary and dropped by the caller's scatter plan."""
     n = points.shape[0]
-    dist2 = jnp.clip(mean_sq_dist_to_3nn(points), KNN_DIST_CLAMP)
+    dist2 = jnp.clip(mean_sq_dist_to_3nn(points, valid=point_valid),
+                     KNN_DIST_CLAMP)
     scaling = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
     if lang_feat is None:
         lang_feat = jnp.zeros((n, LF_CHANNELS), jnp.float32)
@@ -220,7 +226,8 @@ def increase_pcd(state: GaussianState, points: jnp.ndarray,
     if point_valid is None:
         point_valid = jnp.ones((n,), bool)
     plan = _allocate_slots(state.valid, point_valid, n)
-    new = _new_point_params(points, colors, lang_feat)
+    new = _new_point_params(points, colors, lang_feat,
+                            point_valid=point_valid)
     params = _scatter_params(state.params, new, plan.slots)
     adam_m = _zero_rows(state.adam_m, plan.slots)
     adam_v = _zero_rows(state.adam_v, plan.slots)

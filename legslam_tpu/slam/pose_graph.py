@@ -40,9 +40,11 @@ def se3_exp(xi: np.ndarray) -> np.ndarray:
     w, v = np.asarray(xi[:3], np.float64), np.asarray(xi[3:], np.float64)
     th = np.linalg.norm(w)
     W = _hat(w)
-    if th < 1e-10:
-        R = np.eye(3) + W
-        V = np.eye(3) + 0.5 * W
+    if th < 1e-4:
+        # series to O(th^3); the closed form's 1-cos/1-sinc underflow to
+        # exactly 0 below th ~ 3e-8 (see se3_log)
+        R = np.eye(3) + W + 0.5 * (W @ W)
+        V = np.eye(3) + 0.5 * W + (W @ W) / 6.0
     else:
         A = np.sin(th) / th
         B = (1.0 - np.cos(th)) / (th * th)
@@ -91,10 +93,15 @@ def se3_log(T: np.ndarray) -> np.ndarray:
     t = np.asarray(T[:3, 3], np.float64)
     w = _so3_log(T[:3, :3])
     th = np.linalg.norm(w)
-    if th < 1e-10:
-        Vinv = np.eye(3) - 0.5 * _hat(w)
-        return np.concatenate([w, Vinv @ t])
     W = _hat(w)
+    if th < 1e-4:
+        # series: V^-1 = I - W/2 + W^2/12 + O(th^4). The closed form
+        # below is NOT safe here: 1 - cos(th) underflows to exactly 0
+        # for th < ~1.5e-8 (f64), making B = 0 and coef = inf — NaN
+        # translations on near-pure-translation edges (the common
+        # consecutive-keyframe odometry case).
+        Vinv = np.eye(3) - 0.5 * W + (W @ W) / 12.0
+        return np.concatenate([w, Vinv @ t])
     # V^-1 = I - W/2 + (1 - A/(2B)) / th^2 * W^2 with A = sin(th)/th,
     # B = (1-cos th)/th^2 — finite at th = pi (limit 1/pi^2)
     A = np.sin(th) / th

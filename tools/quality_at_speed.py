@@ -1,0 +1,177 @@
+"""Quality-at-speed at BENCH scale: refresh-8+trim vs exact binning.
+
+Round-3 verdict weak #4: the binning-cache/trim staleness cost was
+quality-pinned only on toy scenes, while the headline numbers are
+measured at 200k gaussians / 1200x680. This tool trains the SAME
+bench-scale store against real (structured) GT renders under
+  A) exact per-iteration binning (refresh=1, trim off) — the
+     reference's semantics (cuda_rasterizer/rasterizer_impl.cu:198-343
+     rebuilds the binning every iteration), and
+  B) the headline policy (refresh=8 + termination trim + pre-trimmed
+     refresh steps with the mapper's trim_fresh_max_age=3 ratchet),
+from an identical initial state over a multi-view schedule (staleness
+interacts with view cycling, so single-view would understate it), then
+reports per-view PSNR for both and the delta. The result is committed as
+artifacts/QUALITY_AT_SPEED.json so the headline configuration's quality
+cost is a pinned number.
+
+Run on the TPU chip:  python tools/quality_at_speed.py
+Env: QAS_ITERS (default 600), QAS_VIEWS (6), QAS_SMOKE=1 tiny shapes.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from legslam_tpu.config import OptimizationParams, RasterizeConfig
+    from legslam_tpu.data.synthetic import SyntheticDataset
+    from legslam_tpu.mapper.train_step import train_step
+    from legslam_tpu.models import gaussians as G
+    from legslam_tpu.ops.binning import trim_binning
+    from legslam_tpu.ops.rasterize import compute_binning
+    from legslam_tpu.utils.camera import CameraView
+    from legslam_tpu.utils.runtime import enable_compilation_cache
+
+    from bench import steady_state_scale_clamp
+
+    enable_compilation_cache()
+    smoke = os.environ.get("QAS_SMOKE") == "1"
+    width, height = (320, 192) if smoke else (1200, 680)
+    n_points = 20_000 if smoke else 200_000
+    capacity = 1 << (15 if smoke else 18)
+    iters = int(os.environ.get("QAS_ITERS", "30" if smoke else "600"))
+    n_views = int(os.environ.get("QAS_VIEWS", "3" if smoke else "6"))
+    cfg = RasterizeConfig(
+        tile_h=16, tile_w=128, max_span_x=4, max_span_y=8, chunk=256,
+        tile_batch=16, backend=os.environ.get("QAS_BACKEND", "pallas"),
+        max_pairs=1 << (16 if smoke else 20), mm_dtype="bfloat16",
+        power_mode="sep3")
+    opt = OptimizationParams()
+
+    # structured GT: renders of a synthetic room (the bench's random-GT
+    # operating point measures speed; quality needs real structure)
+    ds = SyntheticDataset(n_frames=n_views, width=width, height=height,
+                          n_gaussians=max(n_points // 5, 2000), seed=3,
+                          revolutions=0.25, radius=1.0, clutter_ratio=0.0)
+    ds._cfg = cfg
+    ds.preload()   # jitted render + on-disk npz cache
+    views, gts = [], []
+    rng = np.random.default_rng(0)
+    for i in range(n_views):
+        f = ds.read(i)
+        w2c = np.linalg.inv(f.c2w)
+        views.append(CameraView.create(
+            np.ascontiguousarray(w2c[:3, :3], np.float32),
+            np.ascontiguousarray(w2c[:3, 3], np.float32),
+            width, height, fx=ds.intrinsics["fx"],
+            fy=ds.intrinsics["fy"]))
+        gts.append((jnp.asarray(f.color), jnp.asarray(f.depth)))
+
+    # bench-scale initial store: points sampled near the scene geometry
+    idx = rng.integers(0, ds._xyz.shape[0], size=n_points)
+    pts = (ds._xyz[idx] + rng.normal(scale=0.05,
+                                     size=(n_points, 3))).astype(np.float32)
+    cols = rng.uniform(size=(n_points, 3)).astype(np.float32)
+    st0 = G.create_from_pcd(pts, cols, capacity=capacity)
+    st0 = steady_state_scale_clamp(st0, pts, fx=ds.intrinsics["fx"])
+
+    gt_lf = jnp.zeros((height, width, 64), jnp.float32)
+    mask = jnp.ones((height, width), jnp.float32)
+    bg = jnp.zeros(3)
+
+    binning_jit = jax.jit(compute_binning,
+                          static_argnames=("width", "height", "cfg",
+                                           "max_per_tile"))
+    trim_jit = jax.jit(trim_binning,
+                       static_argnames=("max_pairs", "chunk",
+                                        "slack_chunks"))
+
+    def make_binning(s, v):
+        return binning_jit(
+            s.params.xyz, jnp.exp(s.params.scaling), s.params.rotation,
+            s.valid, v.world_view, v.full_proj, v.tan_fovx, v.tan_fovy,
+            width=width, height=height, cfg=cfg, max_per_tile=2048,
+            opacity=jax.nn.sigmoid(s.params.opacity[:, 0]))
+
+    def step(s, i, v, gt, binning=None, emit=False):
+        return train_step(
+            s, v.world_view, v.full_proj, v.cam_center, v.tan_fovx,
+            v.tan_fovy, gt[0], gt_lf, gt[1], mask, bg,
+            jnp.asarray(float(i)), 1.0, width=width, height=height,
+            active_sh_degree=3, opt=opt, cfg=cfg, max_per_tile=2048,
+            binning=binning, emit_kfin=emit)
+
+    def train(refresh: int, trim: bool):
+        """Round-robin the views; per-view binning cache + kfin ratchet
+        exactly like mapper.train_iteration's policy."""
+        s = st0
+        cache: dict = {}          # view -> [uses_left, binning]
+        kfin_cache: dict = {}     # view -> [age, kfin]
+        for i in range(iters):
+            vi = i % n_views
+            v, gt = views[vi], gts[vi]
+            if refresh <= 1:
+                s, aux = step(s, i + 1, v, gt)
+                continue
+            ent = cache.get(vi)
+            if ent is not None and ent[0] > 0:
+                ent[0] -= 1
+                s, aux = step(s, i + 1, v, gt, binning=ent[1])
+                continue
+            binning = make_binning(s, v)
+            if trim:
+                kent = kfin_cache.get(vi)
+                if kent is not None and kent[0] < 3:   # trim_fresh_max_age
+                    kent[0] += 1
+                    binning = (trim_jit(binning[0], kent[1],
+                                        max_pairs=cfg.max_pairs,
+                                        chunk=cfg.chunk, slack_chunks=2),
+                               binning[1])
+                else:
+                    kfin_cache.pop(vi, None)
+            s, aux = step(s, i + 1, v, gt, binning=binning, emit=trim)
+            if trim and aux.kfin is not None:
+                kfin_cache.setdefault(vi, [0, None])[1] = aux.kfin
+                binning = (trim_jit(binning[0], aux.kfin,
+                                    max_pairs=cfg.max_pairs,
+                                    chunk=cfg.chunk, slack_chunks=1),
+                           binning[1])
+            cache[vi] = [refresh - 1, binning]
+        jax.block_until_ready(s.params.xyz)
+        # final-state PSNR per view through the EXACT step (binning=None)
+        psnrs = []
+        for v, gt in zip(views, gts):
+            _, aux = step(s, iters, v, gt)
+            psnrs.append(float(aux.psnr))
+        return psnrs
+
+    exact = train(refresh=1, trim=False)
+    fast = train(refresh=8, trim=True)
+    result = {
+        "scale": f"{width}x{height}, {n_points} gaussians, "
+                 f"{n_views} views, {iters} iters, {cfg.backend}",
+        "psnr_exact_refresh1": [round(p, 3) for p in exact],
+        "psnr_refresh8_trim": [round(p, 3) for p in fast],
+        "mean_exact": round(float(np.mean(exact)), 3),
+        "mean_fast": round(float(np.mean(fast)), 3),
+        "delta_db": round(float(np.mean(exact) - np.mean(fast)), 3),
+    }
+    print(json.dumps(result))
+    out = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "QUALITY_AT_SPEED.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
