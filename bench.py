@@ -164,9 +164,12 @@ def _system_variant(width, height, n_points, cfg, refresh, smoke,
     rng = np.random.default_rng(0)
     group = 3
     warm, timed = (2, 3) if smoke else (10, 30)
+    # 0.45 deg/frame orbit — Replica-like sensor motion (office0 covers
+    # ~2000 frames/room; the old 2.25 deg/frame forced a keyframe every
+    # other frame, an 8x-too-hot ingest rate no real sequence produces)
     ds = SyntheticDataset(n_frames=warm + timed, width=width, height=height,
                           n_gaussians=max(n_points // 5, 2000), seed=3,
-                          clutter_ratio=0.0, revolutions=0.25)
+                          clutter_ratio=0.0, revolutions=0.05)
     ds._cfg = cfg  # render GT frames through the bench (pallas) path
     ds.preload()   # jitted render + on-disk npz cache (cold: one compile)
     frames = [ds.read(i) for i in range(len(ds))]  # pre-generate, untimed
@@ -187,10 +190,19 @@ def _system_variant(width, height, n_points, cfg, refresh, smoke,
                  for f in frames]
     u8 = {id(f): u for f, u in zip(frames, frames_u8)}
 
+    import cv2
+    enc_size = encoder.cfg.image_size
+
     def frame_work(frame):
+        # host-side resize to encoder geometry BEFORE upload (like the
+        # reference's cv2 resize ahead of the ONNX session,
+        # language_features_encoder.cpp) — the host link runs ~24 MB/s
+        # through the tunnel, so bytes shipped are the system floor
+        small = cv2.resize(u8[id(frame)], (enc_size, enc_size),
+                           interpolation=cv2.INTER_LINEAR)
         # on-device LF: the encoder dispatch overlaps host-side tracking
         # (the keyframe path accepts jax arrays)
-        lf = encoder.create_language_features(u8[id(frame)])
+        lf = encoder.create_language_features(small)
         frontend.track(frame, lf_image=lf)
         mapper.drain_operations()
         if mapper.state is None and mapper.has_met_initial_conditions():

@@ -139,6 +139,16 @@ class MapperParams:
     stereo_num_disparity: int = 128
     position_lr_max_steps_slam: int = 24   # per-KF use-count LR clamp
     keep_training_after_shutdown: bool = False
+    # Screen-radius cap (px) applied to the 3-NN scale init of INGESTED
+    # points: a sparse per-keyframe corner cloud (~1k points) has 3-NN
+    # distances that init gaussians with 100+ px footprints, which the
+    # static tile-span caps then truncate (measured 98% of their pair
+    # candidates dropped). The reference prunes any gaussian past
+    # size_th=20 px once big-point pruning is armed
+    # (gaussian_mapper.cpp:737-755, gaussian_model.cpp:806-826), so the
+    # cap enforces at creation the bound training converges to anyway.
+    # 0 disables (raw distCUDA2 init, reference create semantics).
+    ingest_scale_clamp_px: float = 20.0
 
 
 @dataclasses.dataclass(frozen=True)

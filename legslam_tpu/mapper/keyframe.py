@@ -106,9 +106,28 @@ def build_keyframe(packet: KeyframePacket, intr: dict,
             c = _resize_area(packet.color, lh, lw)
             d = _resize_area(depth, lh, lw)
             m = _resize_area(mask_full, lh, lw)
-        colors.append(jnp.asarray(c, jnp.float32))
-        depths.append(jnp.asarray(d, jnp.float32))
-        masks.append(jnp.asarray(m, jnp.float32))
+        # Compact host->device uploads (the host link is the online
+        # system's bottleneck — measured ~24 MB/s through the axon
+        # tunnel; a full-res f32 color+depth+mask level is ~17 MB):
+        #   color  u8 + /255 on device (sensor images are 8-bit on disk
+        #          anyway — the reference trains from cv::Mat 8UC3),
+        #   depth  u16 millimeters (0.5 mm quantization, < any RGB-D
+        #          sensor's noise floor) when it fits, f32 otherwise,
+        #   mask   all-ones masks are CREATED on device, not shipped.
+        cu8 = np.clip(np.asarray(c, np.float32) * 255.0 + 0.5,
+                      0, 255).astype(np.uint8)
+        colors.append(jnp.asarray(cu8).astype(jnp.float32) / 255.0)
+        d = np.asarray(d, np.float32)
+        if d.size and np.all(d >= 0) and np.all(d < 65.5):
+            dq = jnp.asarray((d * 1000.0 + 0.5).astype(np.uint16))
+            depths.append(dq.astype(jnp.float32) / 1000.0)
+        else:
+            depths.append(jnp.asarray(d, jnp.float32))
+        m = np.asarray(m, np.float32)
+        if np.all(m == 1.0):
+            masks.append(jnp.ones((lh, lw), jnp.float32))
+        else:
+            masks.append(jnp.asarray(m, jnp.float32))
 
     gt_lf = None
     if packet.lf_image is not None:

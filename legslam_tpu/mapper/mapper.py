@@ -63,8 +63,9 @@ _trim_binning_jit = jax.jit(
 # init, so real rows are BIT-IDENTICAL to an unpadded call) giving a
 # handful of cached executables total.
 _ingest_jit = jax.jit(
-    lambda state, pts, cols, valid, iteration: G.increase_pcd(
-        state, pts, cols, iteration, point_valid=valid))
+    lambda state, pts, cols, valid, iteration, smax: G.increase_pcd(
+        state, pts, cols, iteration, point_valid=valid,
+        max_log_scale=smax))
 
 _INGEST_MIN_BUCKET = 1024
 
@@ -108,6 +109,7 @@ class GaussianMapper:
                  binning_cache_entries: int = 16,
                  binning_trim: bool = True,
                  binning_trim_fresh: bool = True,
+                 binning_keep_on_ingest: bool = True,
                  sensor_type: str = "rgbd",
                  n_views: int = 1,
                  spatial_strips: int = 1,
@@ -169,6 +171,17 @@ class GaussianMapper:
         # them. Same staleness class as the cache itself. Pallas flat
         # (n_buckets=1) single-view path only.
         self.binning_trim = binning_trim
+        # pure point-ADD surgery (keyframe ingest / inactive-geo densify)
+        # leaves cached binnings valid-but-stale: existing slots are
+        # untouched (the scatter only fills FREE slots), so a cached
+        # binning merely misses the new points until its refresh — the
+        # same staleness class as the refresh interval itself. Online
+        # ingest arrives every few frames; invalidating on each add made
+        # EVERY system-loop step pay the fresh-binning cost (measured
+        # ~300+ ms/frame device time vs ~90 ms steady state). Prune /
+        # loop-closure / opacity-reset surgery still invalidates: those
+        # rewrite live slots a cached pair list points into.
+        self.binning_keep_on_ingest = binning_keep_on_ingest
         self._binning_fresh = False
         # ALSO pre-trim the group-leading (fresh-binning) step with the
         # view's PREVIOUS watermark (+1 extra slack chunk): without this
@@ -285,23 +298,24 @@ class GaussianMapper:
         if kf.kp_pixels is None:
             return
         if self.sensor_type == "monocular":
-            world, cols = self._mono_inactive_geometry(kf)
+            world, cols, z = self._mono_inactive_geometry(kf)
         elif self.sensor_type == "stereo":
-            world, cols = self._stereo_inactive_geometry(kf, packet)
+            world, cols, z = self._stereo_inactive_geometry(kf, packet)
         else:
-            world, cols = self._rgbd_inactive_geometry(kf, packet)
+            world, cols, z = self._rgbd_inactive_geometry(kf, packet)
         kf.done_inactive_geo_densify = True
         if world is None or not len(world):
             return
         self._depth_cache.append((world.astype(np.float32),
-                                  cols.astype(np.float32)))
+                                  cols.astype(np.float32),
+                                  self._ingest_smax(z)))
         self._kfs_since_densify_flush += 1
         if self._kfs_since_densify_flush >= self.mp.depth_cache:
             self._flush_depth_cache()
 
     def _rgbd_inactive_geometry(self, kf: MapKeyframe, packet=None):
         if kf.gt_depth is None:
-            return None, None
+            return None, None, None
         # the packet still holds the host copies — reading those avoids a
         # ~13 MB device->host fetch per keyframe (19 ms+ tunnel trips)
         if packet is not None and packet.depth is not None:
@@ -320,7 +334,7 @@ class GaussianMapper:
         ok = (~has_mp) & (d > self.mp.rgbd_min_depth) & \
             (d < self.mp.rgbd_max_depth)
         if not ok.any():
-            return None, None
+            return None, None, None
         fx, fy = self.intr["fx"], self.intr["fy"]
         cx, cy = self.intr["cx"], self.intr["cy"]
         # scale intrinsics to stored full-res level
@@ -331,18 +345,18 @@ class GaussianMapper:
                         d[ok]], -1)
         world = (cam - kf.t) @ kf.R
         cols = color[yi[ok], xi[ok]]
-        return world, cols
+        return world, cols, d[ok]
 
     def _mono_inactive_geometry(self, kf: MapKeyframe):
         """Monocular depth-borrow branch (gaussian_mapper.cpp:1262-1300)."""
         from legslam_tpu.ops.stereo import mono_borrow_depth
         if kf.kp_points_local is None:
-            return None, None
+            return None, None, None
         kp = jnp.asarray(kf.kp_pixels)
         local = np.asarray(kf.kp_points_local)
         has3d = local[:, 2] > 0
         if not has3d.any() or has3d.all():
-            return None, None
+            return None, None, None
         pts, ok = mono_borrow_depth(
             kp, jnp.asarray(local[:, 2]), jnp.asarray(has3d),
             self.mp.mono_max_pixel_dist, self.intr["fx"], self.intr["fy"],
@@ -350,22 +364,22 @@ class GaussianMapper:
         pts = np.asarray(pts)
         ok = np.asarray(ok)
         if not ok.any():
-            return None, None
+            return None, None, None
         world = (pts[ok] - kf.t) @ kf.R
         color = np.asarray(kf.gt_color[-1])
         h, w = color.shape[:2]
         xi = np.clip(kf.kp_pixels[ok, 0].astype(int), 0, w - 1)
         yi = np.clip(kf.kp_pixels[ok, 1].astype(int), 0, h - 1)
-        return world, color[yi, xi]
+        return world, color[yi, xi], pts[ok, 2]
 
     def _stereo_inactive_geometry(self, kf: MapKeyframe, packet):
         """Stereo SGM branch (gaussian_mapper.cpp:1302-1405)."""
         if packet is None or getattr(packet, "color_right", None) is None:
-            return None, None
+            return None, None, None
         from legslam_tpu.ops.stereo import stereo_inactive_geo_densify
         baseline = self.intr.get("stereo_baseline", 0.0)
         if baseline <= 0:
-            return None, None
+            return None, None, None
         pts, cols, ok = stereo_inactive_geo_densify(
             jnp.asarray(packet.color), jnp.asarray(packet.color_right),
             jnp.asarray(kf.kp_pixels), self.intr["fx"], self.intr["fy"],
@@ -374,38 +388,61 @@ class GaussianMapper:
             min_disp=self.mp.stereo_min_disparity)
         pts, cols, ok = np.asarray(pts), np.asarray(cols), np.asarray(ok)
         if not ok.any():
-            return None, None
+            return None, None, None
         world = (pts[ok] - kf.t) @ kf.R
-        return world, cols[ok]
+        return world, cols[ok], pts[ok, 2]
 
-    def _increase_points(self, pts: np.ndarray, cols: np.ndarray) -> None:
+    def _increase_points(self, pts: np.ndarray, cols: np.ndarray,
+                         smax: np.ndarray | None = None) -> None:
         """Ingest new points through the static-shape bucketed executable
-        (see _ingest_jit): pad to the bucket, mask the tail."""
+        (see _ingest_jit): pad to the bucket, mask the tail. `smax` is the
+        per-point log-scale cap (ingest_scale_clamp_px); +inf = no cap."""
         n = pts.shape[0]
         m = _ingest_bucket(n, self.capacity)
         k = min(n, m)
         pts_p = np.zeros((m, 3), np.float32)
         cols_p = np.zeros((m, 3), np.float32)
+        smax_p = np.full((m,), np.inf, np.float32)
         valid = np.zeros((m,), bool)
         pts_p[:k], cols_p[:k], valid[:k] = pts[:k], cols[:k], True
+        if smax is not None:
+            smax_p[:k] = smax[:k]
         if n > m:  # beyond capacity: count the tail as overflow-dropped
             self.state = self.state.replace(
                 overflow_dropped=self.state.overflow_dropped + (n - m))
         self.state = _ingest_jit(
             self.state, jnp.asarray(pts_p), jnp.asarray(cols_p),
-            jnp.asarray(valid), jnp.asarray(self.iteration, jnp.int32))
-        self._invalidate_binning()
+            jnp.asarray(valid), jnp.asarray(self.iteration, jnp.int32),
+            jnp.asarray(smax_p))
+        if not (self.binning_keep_on_ingest and
+                self.binning_refresh_interval > 1):
+            self._invalidate_binning()
+
+    def _ingest_smax(self, z: np.ndarray | None) -> np.ndarray | None:
+        """Per-point log-scale cap from camera depth: screen radius
+        3*scale*f/z <= ingest_scale_clamp_px (the prune-big size_th bound
+        applied at creation; gaussian_mapper.cpp:737-755)."""
+        px = self.mp.ingest_scale_clamp_px
+        if z is None or px <= 0:
+            return None
+        zc = np.maximum(np.asarray(z, np.float32), 1e-3)
+        return np.log((px / 3.0) * zc / self.intr["fx"]).astype(np.float32)
 
     def _flush_depth_cache(self) -> None:
         if not self._depth_cache or self.state is None:
             self._kfs_since_densify_flush = 0
             return
-        pts = np.concatenate([p for p, _ in self._depth_cache])
-        cols = np.concatenate([c for _, c in self._depth_cache])
+        pts = np.concatenate([p for p, _, _ in self._depth_cache])
+        cols = np.concatenate([c for _, c, _ in self._depth_cache])
+        smax = [m for _, _, m in self._depth_cache]
+        smax = np.concatenate([np.full((len(p),), np.inf, np.float32)
+                               if m is None else m
+                               for (p, _, _), m in zip(self._depth_cache,
+                                                       smax)])
         self._depth_cache.clear()
         self._kfs_since_densify_flush = 0
         if pts.shape[0] >= self.mp.min_num_inactive_geo_densify:
-            self._increase_points(pts, cols)
+            self._increase_points(pts, cols, smax)
 
     def handle_operation(self, op: MappingOperation) -> None:
         if op.kind == OpKind.LOCAL_BA:
@@ -414,9 +451,14 @@ class GaussianMapper:
             if op.points_xyz is not None and len(op.points_xyz) >= \
                     self.mp.min_num_inactive_geo_densify:
                 if self.state is not None:
+                    pts_w = np.asarray(op.points_xyz, np.float32)
+                    z = None
+                    if op.keyframes:
+                        pk = op.keyframes[-1]
+                        z = pts_w @ pk.R[2] + pk.t[2]  # depth in newest KF
                     self._increase_points(
-                        np.asarray(op.points_xyz, np.float32),
-                        np.asarray(op.points_color, np.float32))
+                        pts_w, np.asarray(op.points_color, np.float32),
+                        self._ingest_smax(z))
                 else:
                     self._pending_points.append(
                         (op.points_xyz, op.points_color))

@@ -57,7 +57,12 @@ def _encode(dino_params: dict, pca_params: PCA.PCAParams, rgb: jnp.ndarray,
         # sensor-native path: ship the 4x-smaller u8 image over the host
         # link (the reference uploads 8UC3 mats too) and scale on device
         rgb = rgb.astype(jnp.float32) / 255.0
-    x = jax.image.resize(rgb, (b, size, size, 3), method="linear")
+    if rgb.shape[1:3] == (size, size):
+        # already at encoder geometry (host-side pre-resize: shrinking
+        # BEFORE upload cuts the host link bytes ~3x at Replica frames)
+        x = rgb
+    else:
+        x = jax.image.resize(rgb, (b, size, size, 3), method="linear")
     x = D.imagenet_normalize(x)
     feats = D.forward(dino_params, x, cfg, dtype=dtype)       # [B, G*G, 768]
     feats = feats / jnp.linalg.norm(feats, axis=-1,

@@ -215,7 +215,8 @@ def _zero_rows(params: GaussianParams, slots: jnp.ndarray) -> GaussianParams:
 def increase_pcd(state: GaussianState, points: jnp.ndarray,
                  colors: jnp.ndarray, iteration,
                  point_valid: jnp.ndarray | None = None,
-                 lang_feat: jnp.ndarray | None = None) -> GaussianState:
+                 lang_feat: jnp.ndarray | None = None,
+                 max_log_scale: jnp.ndarray | None = None) -> GaussianState:
     """Append new points into free slots (gaussian_model.cpp:196-385).
     New slots get zero Adam moments and zero densify stats; the shared step
     count is preserved (densificationPostfix semantics,
@@ -228,6 +229,11 @@ def increase_pcd(state: GaussianState, points: jnp.ndarray,
     plan = _allocate_slots(state.valid, point_valid, n)
     new = _new_point_params(points, colors, lang_feat,
                             point_valid=point_valid)
+    if max_log_scale is not None:
+        # per-point screen-radius cap on the knn init (the prune-big
+        # bound applied at creation; MapperParams.ingest_scale_clamp_px)
+        new = new.replace(scaling=jnp.minimum(
+            new.scaling, max_log_scale[:, None]))
     params = _scatter_params(state.params, new, plan.slots)
     adam_m = _zero_rows(state.adam_m, plan.slots)
     adam_v = _zero_rows(state.adam_v, plan.slots)

@@ -239,3 +239,21 @@ def test_mapper_ingest_bucket():
     assert _ingest_bucket(1024, 1 << 18) == 1024
     assert _ingest_bucket(1025, 1 << 18) == 2048
     assert _ingest_bucket(300_000, 1 << 18) == 1 << 18
+
+
+def test_increase_pcd_scale_clamp(rng):
+    """max_log_scale caps the knn scale init per point (the mapper's
+    ingest_scale_clamp_px bound); +inf rows keep the raw init."""
+    pts = rng.normal(size=(12, 3)).astype(np.float32) * 3.0
+    cols = rng.uniform(size=(12, 3)).astype(np.float32)
+    base = G.create_from_pcd(pts, cols, capacity=64)
+    raw = G.increase_pcd(base, pts + 9.0, cols, iteration=1)
+    cap = np.full((12,), -2.0, np.float32)
+    cap[6:] = np.inf
+    clamped = G.increase_pcd(base, pts + 9.0, cols, iteration=1,
+                             max_log_scale=jnp.asarray(cap))
+    sc_raw = np.asarray(raw.params.scaling)[12:24]
+    sc_cl = np.asarray(clamped.params.scaling)[12:24]
+    np.testing.assert_array_equal(sc_cl[:6],
+                                  np.minimum(sc_raw[:6], -2.0))
+    np.testing.assert_array_equal(sc_cl[6:], sc_raw[6:])

@@ -186,9 +186,14 @@ def test_mono_loop_closure_fires_and_bounds_drift():
     one loop, the up-to-scale ATE does not regress vs loops-off, and the
     loop packets carry sane per-KF Sim(3) scales for the mapper."""
     # 4.5 deg/frame: monocular triangulation needs more baseline per KF
-    # than RGB-D (the rgbd loop test runs 9 deg/frame)
-    ds = SyntheticDataset(n_frames=80, width=320, height=192,
-                          n_gaussians=9000, revolutions=1.0, radius=1.0,
+    # than RGB-D (the rgbd loop test runs 9 deg/frame). 1.2 revolutions:
+    # the consistency-group gate (loop_consistency, the defense the
+    # aliasing tests pin) needs the SAME anchor region re-detected on
+    # consecutive keyframes, so the sequence must keep traversing past
+    # the 360-degree point — ending exactly at the loop leaves one
+    # detection and no group (a real sequence keeps moving too).
+    ds = SyntheticDataset(n_frames=96, width=320, height=192,
+                          n_gaussians=9000, revolutions=1.2, radius=1.0,
                           clutter_ratio=0.0)
     frames = [ds.read(i) for i in range(len(ds))]
     ates = {}
