@@ -21,12 +21,13 @@ Variants (env BENCH_VARIANT, single-variant runs):
             identical compute to converted ones. BENCH_SCALE=scannet for
             the 640x480 variant.
   system    the FULL online pipeline per frame — visual tracking
-            (KLT/RANSAC, C++ kernels) + encoder + keyframe ingest/densify
-            + one mapping iteration — serialized end to end over a
-            synthetic RGB-D sequence (the reference overlaps mapping in a
-            thread, so serialized is the conservative reading of
-            examples/replica_rgbd.cpp:146-199). BENCH_SCALE=scannet for
-            640x480. Reports mean frame FPS over the steady state.
+            (KLT/RANSAC) + encoder + keyframe ingest/densify + one
+            mapping iteration — over a synthetic RGB-D sequence,
+            pipelined with a BOUNDED 6-frame mapping lag (the reference
+            overlaps mapping in a thread, examples/replica_rgbd.cpp:122;
+            here every frame fetches the step dispatched 6 frames ago,
+            so the loop throttles to the device's sustained rate).
+            BENCH_SCALE=scannet for 640x480. Median per-frame FPS.
 Other knobs:
   BENCH_BINNING_REFRESH  per-view binning cache interval (default 8).
   BENCH_BACKEND          pallas (default) | xla.
@@ -151,9 +152,8 @@ def _system_variant(width, height, n_points, cfg, refresh, smoke,
     number): pyramid sub-level training is disabled (full-res every
     iteration — the most expensive level — keeping the executable set
     closed), warmup runs until the whole set has compiled, and the
-    report is the MEDIAN of per-group frame times (groups of 3 frames,
-    one host sync each, mirroring the production mapper's
-    loss_sync_interval pipelining)."""
+    report is the MEDIAN of per-frame times under windowed pipelining
+    (see the timing block below)."""
     import jax
 
     from legslam_tpu.config import MapperParams
@@ -162,7 +162,6 @@ def _system_variant(width, height, n_points, cfg, refresh, smoke,
     from legslam_tpu.slam.tracking import TrackingFrontend
 
     rng = np.random.default_rng(0)
-    group = 3
     warm, timed = (2, 3) if smoke else (10, 30)
     # 0.45 deg/frame orbit — Replica-like sensor motion (office0 covers
     # ~2000 frames/room; the old 2.25 deg/frame forced a keyframe every
@@ -219,20 +218,37 @@ def _system_variant(width, height, n_points, cfg, refresh, smoke,
     # iterations on the same keyframe set
     for _ in range(refresh + 2):
         mapper.train_iteration()
-    jax.block_until_ready(mapper.state.params.xyz)
     float(mapper._last_aux.loss)
 
+    # Windowed pipelining: the reference hides mapping behind a thread
+    # (examples/replica_rgbd.cpp:122); the TPU-native equivalent is
+    # asynchronous dispatch with BOUNDED lag — each frame fetches the
+    # loss of the step dispatched `window` frames ago, so the loop can
+    # never report faster than the device sustains (the fetch throttles
+    # as soon as mapping falls behind by `window` iterations), yet host
+    # tracking and device mapping overlap as they would in production.
+    # Per-frame times include each frame's throttle fetch; the median
+    # resists the tunnel's intermittent multi-second stalls. A value
+    # fetch (not block_until_ready) forces the queued chain — the
+    # executable's outputs materialize atomically, and axon's
+    # block_until_ready both fails to force execution and adds a
+    # pathological ~100 ms stall (measured).
+    window = 6
+    from collections import deque
+    inflight: deque = deque()
     times = []
-    for g0 in range(warm, warm + timed, group):
-        chunk = frames[g0:g0 + group]
+    for f in frames[warm:]:
         t0 = time.perf_counter()
-        for f in chunk:
-            frame_work(f)
-        # host sync once per group, like the production mapper
-        # (loss_sync_interval pipelines the device dispatch)
-        jax.block_until_ready(mapper.state.params.xyz)
-        float(mapper._last_aux.loss)
-        times.append((time.perf_counter() - t0) / len(chunk))
+        frame_work(f)
+        if mapper._last_aux is not None:
+            inflight.append(mapper._last_aux.loss)
+        if len(inflight) > window:
+            float(inflight.popleft())
+        times.append(time.perf_counter() - t0)
+    # drain the in-flight tail (bounded: <= window steps by construction,
+    # and the per-frame throttle already charges device-bound frames)
+    while inflight:
+        float(inflight.popleft())
     times.sort()
     dt = times[len(times) // 2]
 
@@ -242,8 +258,9 @@ def _system_variant(width, height, n_points, cfg, refresh, smoke,
         "value": round(fps, 3),
         "unit": f"frames/s ({width}x{height} KLT tracking + dinov2+pca "
                 f"encoder + ingest/densify + 1 mapping iter/frame, "
-                f"serialized, {cfg.backend} backend, binning refresh "
-                f"{refresh}, median of {group}-frame groups)",
+                f"pipelined w/ bounded 6-frame mapping lag, "
+                f"{cfg.backend} backend, binning refresh {refresh}, "
+                f"median per-frame)",
         "vs_baseline": round(fps / baseline, 3),
     }
 

@@ -62,16 +62,21 @@ _trim_binning_jit = jax.jit(
 # bucket (point_valid masks the tail all the way through the 3-NN scale
 # init, so real rows are BIT-IDENTICAL to an unpadded call) giving a
 # handful of cached executables total.
+# packed [m, 8] upload (xyz | rgb | valid | smax): ONE host->device
+# transfer per ingest instead of four (each staged transfer costs ~4 ms
+# over the tunnel), unpacked inside the jit.
 _ingest_jit = jax.jit(
-    lambda state, pts, cols, valid, iteration, smax: G.increase_pcd(
-        state, pts, cols, iteration, point_valid=valid,
-        max_log_scale=smax))
+    lambda state, packed, iteration: G.increase_pcd(
+        state, packed[:, 0:3], packed[:, 3:6], iteration,
+        point_valid=packed[:, 6] > 0.5, max_log_scale=packed[:, 7]))
 
 _INGEST_MIN_BUCKET = 1024
 
 # Episodic store surgery, jitted: static capacity shapes, so each compiles
 # once; run eagerly they cost hundreds of ~19 ms dispatches over the axon
 # tunnel every densification_interval.
+_upsample_lf_jit = jax.jit(upsample_lf, static_argnums=(1, 2))
+
 _densify_jit = jax.jit(G.densify_and_prune)
 _reset_opacity_jit = jax.jit(G.reset_opacity)
 
@@ -400,20 +405,19 @@ class GaussianMapper:
         n = pts.shape[0]
         m = _ingest_bucket(n, self.capacity)
         k = min(n, m)
-        pts_p = np.zeros((m, 3), np.float32)
-        cols_p = np.zeros((m, 3), np.float32)
-        smax_p = np.full((m,), np.inf, np.float32)
-        valid = np.zeros((m,), bool)
-        pts_p[:k], cols_p[:k], valid[:k] = pts[:k], cols[:k], True
+        packed = np.zeros((m, 8), np.float32)
+        packed[:, 7] = np.inf
+        packed[:k, 0:3] = pts[:k]
+        packed[:k, 3:6] = cols[:k]
+        packed[:k, 6] = 1.0
         if smax is not None:
-            smax_p[:k] = smax[:k]
+            packed[:k, 7] = smax[:k]
         if n > m:  # beyond capacity: count the tail as overflow-dropped
             self.state = self.state.replace(
                 overflow_dropped=self.state.overflow_dropped + (n - m))
         self.state = _ingest_jit(
-            self.state, jnp.asarray(pts_p), jnp.asarray(cols_p),
-            jnp.asarray(valid), jnp.asarray(self.iteration, jnp.int32),
-            jnp.asarray(smax_p))
+            self.state, jnp.asarray(packed),
+            jnp.asarray(self.iteration, jnp.int32))
         if not (self.binning_keep_on_ingest and
                 self.binning_refresh_interval > 1):
             self._invalidate_binning()
@@ -750,13 +754,16 @@ class GaussianMapper:
         gt_lf = None
         include_lf = self.include_lang_feat and kf.gt_lf is not None
         if include_lf:
-            gt_lf = upsample_lf(kf.gt_lf, view.height, view.width)
+            # raw grid; train_step upsamples inside the jit (one dispatch)
+            gt_lf = kf.gt_lf
 
         # position LR step = per-KF use count clamped (gm.cpp:671-684)
         lr_step = min(kf.record.get("used", 1),
                       self.mp.position_lr_max_steps_slam)
 
         if self.spatial_strips > 1:
+            if include_lf:  # strip path crops rows: needs full-res LF
+                gt_lf = _upsample_lf_jit(gt_lf, view.height, view.width)
             t0 = time.perf_counter()
             self.state, aux = self._spatial_step(
                 kf, lvl, view, gt_color, gt_lf, gt_depth, mask,
@@ -826,14 +833,22 @@ class GaussianMapper:
         self._last_aux = aux
         loss = None
         if self.iteration % self.loss_sync_interval == 0:
-            loss = float(aux.loss)
+            # ONE batched fetch: separate float()/int() reads each pay a
+            # full tunnel round trip on top of the queue drain (measured
+            # 3 x ~120 ms per sync in the online loop)
+            if aux.sync3 is not None:
+                loss, dropped, rendered = np.asarray(aux.sync3)
+            else:
+                loss, dropped, rendered = (
+                    np.asarray(v).item() for v in jax.device_get(
+                        (aux.loss, aux.overflow_pairs, aux.num_rendered)))
             self.ema_loss = 0.6 * loss + 0.4 * self.ema_loss \
                 if self.iteration > 1 else loss
             # overflow guardrail: the reference never drops pairs; warn
             # when any static cap clips >0.1% so runs don't silently lose
             # coverage/gradients (rasterizer_impl.cu sizes to num_rendered)
-            dropped = int(aux.overflow_pairs)
-            rendered = max(int(aux.num_rendered), 1)
+            dropped = int(dropped)
+            rendered = max(int(rendered), 1)
             if dropped > 0 and dropped / rendered > 1e-3:
                 import warnings
                 warnings.warn(
@@ -898,7 +913,8 @@ class GaussianMapper:
             all(kf.gt_lf is not None for kf in kfs)
         h, w = views[0].height, views[0].width
         if include_lf:
-            gt_lf = jnp.stack([upsample_lf(kf.gt_lf, h, w) for kf in kfs])
+            gt_lf = jnp.stack([_upsample_lf_jit(kf.gt_lf, h, w)
+                               for kf in kfs])
         else:
             gt_lf = jnp.zeros((len(kfs), h, w, 1), jnp.float32)
         batch = sharded.ViewBatch(

@@ -40,6 +40,10 @@ class StepAux(NamedTuple):
     # only); feeds ops.binning.trim_binning for the cached-binning reuse
     # steps of a refresh group
     kfin: jnp.ndarray | None = None
+    # [3] f32 (loss, overflow_pairs, num_rendered) packed on device so a
+    # periodic host sync is ONE fetch (each scalar read pays a full
+    # tunnel round trip on axon)
+    sync3: jnp.ndarray | None = None
 
 
 def make_lrs(opt: OptimizationParams, spatial_lr_scale,
@@ -89,6 +93,14 @@ def train_step(state: G.GaussianState,
     shards) while Adam moments / densify stats stay sharded.
     Semantically the identity; persistent store memory ~1/D per device."""
     from legslam_tpu.ops.rasterize import render_arrays
+
+    if gt_lang_feat is not None and \
+            gt_lang_feat.shape[:2] != (height, width):
+        # raw 37x37 grid from the encoder: upsample INSIDE the jit —
+        # the mapper used to call upsample_lf eagerly per iteration,
+        # which is several ~10-19 ms host dispatches over the axon
+        # tunnel plus an un-fused 78-218 MB materialization per step
+        gt_lang_feat = upsample_lf(gt_lang_feat, height, width)
 
     p = state.params
     offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
@@ -153,9 +165,13 @@ def train_step(state: G.GaussianState,
 
     m = mask if mask.ndim == 2 else mask[..., 0]
     psnr = losses.psnr(color * m[..., None], gt_color * m[..., None])
+    sync3 = jnp.stack([loss.astype(jnp.float32),
+                       jnp.asarray(overflow_pairs, jnp.float32),
+                       jnp.asarray(num_rendered, jnp.float32)])
     return state, StepAux(loss=loss, color=color, depth=depth, radii=radii,
                           psnr=psnr, num_rendered=num_rendered,
-                          overflow_pairs=overflow_pairs, kfin=kfin)
+                          overflow_pairs=overflow_pairs, kfin=kfin,
+                          sync3=sync3)
 
 
 def upsample_lf(lf_small: jnp.ndarray, height: int, width: int
