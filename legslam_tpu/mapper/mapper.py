@@ -115,6 +115,7 @@ class GaussianMapper:
                  binning_trim: bool = True,
                  binning_trim_fresh: bool = True,
                  binning_keep_on_ingest: bool = True,
+                 capacity_ladder: bool = True,
                  sensor_type: str = "rgbd",
                  n_views: int = 1,
                  spatial_strips: int = 1,
@@ -125,7 +126,19 @@ class GaussianMapper:
         self.opt = opt or OptimizationParams()
         self.mp = mp or MapperParams()
         self.cfg = cfg or RasterizeConfig()
-        self.capacity = capacity
+        self.capacity = capacity          # ladder MAX (current = state)
+        # Geometric capacity ladder: the reference grows its parameter
+        # tensors as the map densifies; the static-shape equivalent
+        # starts the store at a small rung and re-pads x4 (grow_capacity)
+        # at 60% occupancy. An early online store (~1-10k points) then
+        # stops paying full-capacity P-bound step costs and full
+        # max_pairs sort buffers; each rung's executables compile once
+        # and persist in the compilation cache. Single-device path only
+        # (the sharded/spatial/batched paths pin shapes to `capacity`).
+        self.capacity_ladder = capacity_ladder and n_views == 1 and \
+            spatial_strips == 1 and not shard_store
+        self._approx_valid = 0
+        self._base_max_pairs = self.cfg.max_pairs
         self.result_dir = result_dir
         self.max_per_tile = max_per_tile
         self.include_lang_feat = include_lang_feat
@@ -403,7 +416,17 @@ class GaussianMapper:
         (see _ingest_jit): pad to the bucket, mask the tail. `smax` is the
         per-point log-scale cap (ingest_scale_clamp_px); +inf = no cap."""
         n = pts.shape[0]
-        m = _ingest_bucket(n, self.capacity)
+        if self.capacity_ladder:
+            # grow BEFORE allocating so points are never dropped at a
+            # rung that the ladder would have grown past anyway
+            while (self.state.capacity < self.capacity and
+                   self._approx_valid + n > 0.6 * self.state.capacity):
+                self.state = G.grow_capacity(
+                    self.state, min(self.state.capacity * 4,
+                                    self.capacity))
+                self._ladder_cfg(self.state.capacity)
+                self._invalidate_binning()
+        m = _ingest_bucket(n, self.state.capacity)
         k = min(n, m)
         packed = np.zeros((m, 8), np.float32)
         packed[:, 7] = np.inf
@@ -418,6 +441,8 @@ class GaussianMapper:
         self.state = _ingest_jit(
             self.state, jnp.asarray(packed),
             jnp.asarray(self.iteration, jnp.int32))
+        self._approx_valid = min(self._approx_valid + k,
+                                 self.state.capacity)
         if not (self.binning_keep_on_ingest and
                 self.binning_refresh_interval > 1):
             self._invalidate_binning()
@@ -481,7 +506,7 @@ class GaussianMapper:
             for packet in op.keyframes:
                 self._ingest_keyframe(packet)
             return
-        not_transformed = jnp.ones((self.capacity,), bool)
+        not_transformed = jnp.ones((self.state.capacity,), bool)
         for packet in op.keyframes:
             old = self.keyframes.get(packet.fid)
             if old is None:
@@ -563,7 +588,14 @@ class GaussianMapper:
             xyz = np.zeros((0, 3), np.float32)
             rgb = np.zeros((0, 3), np.float32)
         n = min(xyz.shape[0], self.capacity)
-        self.state = G.create_from_pcd(xyz[:n], rgb[:n], self.capacity)
+        cap0 = self.capacity
+        if self.capacity_ladder:
+            need = 1 << max(n * 2 - 1, 1).bit_length()
+            cap0 = min(self.capacity, max(1 << 15, need))
+        self.state = G.create_from_pcd(xyz[:n], rgb[:n], cap0)
+        self._approx_valid = n
+        if self.capacity_ladder:
+            self._ladder_cfg(cap0)
         centers = []
         for kf in self.keyframes.values():
             centers.append(-(kf.R.T @ kf.t))
@@ -837,7 +869,8 @@ class GaussianMapper:
             # full tunnel round trip on top of the queue drain (measured
             # 3 x ~120 ms per sync in the online loop)
             if aux.sync3 is not None:
-                loss, dropped, rendered = np.asarray(aux.sync3)
+                loss, dropped, rendered, nvalid = np.asarray(aux.sync3)
+                self._approx_valid = int(nvalid)
             else:
                 loss, dropped, rendered = (
                     np.asarray(v).item() for v in jax.device_get(
@@ -857,7 +890,29 @@ class GaussianMapper:
                     "max_pairs/max_span/max_per_tile", RuntimeWarning)
         self.timings.append(time.perf_counter() - t0)
         self._post_step_densify()
+        self._maybe_grow_capacity()
         return loss
+
+    def _maybe_grow_capacity(self) -> None:
+        if self.state is None or not self.capacity_ladder:
+            return
+        cap = self.state.capacity
+        if cap >= self.capacity or self._approx_valid <= 0.6 * cap:
+            return
+        new_cap = min(cap * 4, self.capacity)
+        self.state = G.grow_capacity(self.state, new_cap)
+        self._ladder_cfg(new_cap)
+        self._invalidate_binning()
+
+    def _ladder_cfg(self, cap: int) -> None:
+        """Scale the pair budget with the rung: a 1k-point early store
+        under the full max_pairs pays a 1M-row sort per binning refresh
+        for ~10k real pairs. 8 pairs/gaussian is ~3x the measured
+        converged footprint (531k pairs @ 200k); overflow still warns."""
+        import dataclasses as _dc
+        mp = min(self._base_max_pairs, max(1 << 16, 8 * cap))
+        if mp != self.cfg.max_pairs:
+            self.cfg = _dc.replace(self.cfg, max_pairs=mp)
 
     def _post_step_densify(self) -> None:
         """Densification schedule (gaussian_mapper.cpp:737-760)."""

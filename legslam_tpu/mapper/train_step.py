@@ -40,9 +40,10 @@ class StepAux(NamedTuple):
     # only); feeds ops.binning.trim_binning for the cached-binning reuse
     # steps of a refresh group
     kfin: jnp.ndarray | None = None
-    # [3] f32 (loss, overflow_pairs, num_rendered) packed on device so a
-    # periodic host sync is ONE fetch (each scalar read pays a full
-    # tunnel round trip on axon)
+    # [4] f32 (loss, overflow_pairs, num_rendered, num_valid) packed on
+    # device so a periodic host sync is ONE fetch (each scalar read pays
+    # a full tunnel round trip on axon); num_valid feeds the mapper's
+    # capacity-ladder growth decision
     sync3: jnp.ndarray | None = None
 
 
@@ -167,7 +168,8 @@ def train_step(state: G.GaussianState,
     psnr = losses.psnr(color * m[..., None], gt_color * m[..., None])
     sync3 = jnp.stack([loss.astype(jnp.float32),
                        jnp.asarray(overflow_pairs, jnp.float32),
-                       jnp.asarray(num_rendered, jnp.float32)])
+                       jnp.asarray(num_rendered, jnp.float32),
+                       state.num_valid().astype(jnp.float32)])
     return state, StepAux(loss=loss, color=color, depth=depth, radii=radii,
                           psnr=psnr, num_rendered=num_rendered,
                           overflow_pairs=overflow_pairs, kfin=kfin,

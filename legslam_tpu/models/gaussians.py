@@ -179,6 +179,33 @@ def create_from_pcd(points: jnp.ndarray, colors: jnp.ndarray,
                          valid=state.valid.at[:n].set(True))
 
 
+def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
+    """Content-preserving migration to a larger capacity (the mapper's
+    geometric capacity ladder). The reference reallocates its parameter
+    tensors as the map grows (gaussian_model.cpp densification_postfix);
+    under XLA the equivalent is an episodic re-pad: old rows are copied
+    verbatim (params, moments, stats, flags), new slots take the
+    canonical empty() values (identity quats — NOT zeros, which would
+    NaN under quat normalization — zero moments, valid=False)."""
+    old = state.capacity
+    assert new_capacity >= old
+    dst = empty(new_capacity)
+
+    def put(full, part):
+        return full.at[:old].set(part)
+
+    return GaussianState(
+        params=jax.tree.map(put, dst.params, state.params),
+        valid=put(dst.valid, state.valid),
+        exist_since=put(dst.exist_since, state.exist_since),
+        adam_m=jax.tree.map(put, dst.adam_m, state.adam_m),
+        adam_v=jax.tree.map(put, dst.adam_v, state.adam_v),
+        adam_step=state.adam_step,
+        stats=jax.tree.map(put, dst.stats, state.stats),
+        overflow_dropped=state.overflow_dropped,
+    )
+
+
 class ScatterPlan(NamedTuple):
     """Static-shape free-slot allocation: maps n source rows to capacity
     slots; overflowing rows get index C (dropped by scatter mode)."""

@@ -257,3 +257,63 @@ def test_increase_pcd_scale_clamp(rng):
     np.testing.assert_array_equal(sc_cl[:6],
                                   np.minimum(sc_raw[:6], -2.0))
     np.testing.assert_array_equal(sc_cl[6:], sc_raw[6:])
+
+
+def test_grow_capacity_preserves_content(rng):
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    cols = rng.uniform(size=(20, 3)).astype(np.float32)
+    st = G.create_from_pcd(pts, cols, capacity=32)
+    st = st.replace(adam_step=jnp.asarray(7, jnp.int32),
+                    adam_m=jax.tree.map(lambda a: a + 0.5, st.adam_m))
+    big = G.grow_capacity(st, 128)
+    assert big.capacity == 128
+    assert int(big.num_valid()) == 20
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(big.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:32])
+    for a, b in zip(jax.tree.leaves(st.adam_m), jax.tree.leaves(big.adam_m)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:32])
+    assert int(big.adam_step) == 7
+    # new rotation slots carry the identity quat (normalize-safe), zero
+    # moments, invalid
+    np.testing.assert_array_equal(np.asarray(big.params.rotation)[32:, 0], 1.0)
+    assert not np.asarray(big.valid)[32:].any()
+    assert np.asarray(jax.tree.leaves(big.adam_v)[0])[32:].sum() == 0
+
+
+def test_mapper_capacity_ladder_grows():
+    """Online ingest through the ladder: store starts at a small rung and
+    grows without losing points (the static-shape analogue of the
+    reference's dynamic tensor growth)."""
+    import jax as _jax
+    from legslam_tpu.mapper.mapper import GaussianMapper
+
+    class _Src:
+        def pop_operation(self): return None
+        def is_shutdown(self): return False
+
+    rng = np.random.default_rng(0)
+    intr = dict(width=64, height=48, fx=50.0, fy=50.0, cx=32, cy=24)
+    m = GaussianMapper(_Src(), intr, capacity=1 << 18,
+                       result_dir="/tmp/ladder_t")
+    assert m.capacity_ladder
+    pts0 = rng.normal(size=(1000, 3)).astype(np.float32)
+    m._pending_points.append((pts0, rng.uniform(size=(1000, 3)).astype(np.float32)))
+
+    class _KFStub:
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+    m.keyframes[0] = _KFStub()
+    m.initialize_map()
+    del m.keyframes[0]
+    assert m.state.capacity == 1 << 15          # starting rung
+    assert m.cfg.max_pairs == max(1 << 16, 8 << 15)
+    n_total = 1000
+    for _ in range(30):
+        k = 1000
+        m._increase_points(
+            rng.normal(size=(k, 3)).astype(np.float32) + 5,
+            rng.uniform(size=(k, 3)).astype(np.float32))
+        n_total += k
+    assert m.state.capacity > (1 << 15)          # grew at least one rung
+    assert int(m.state.num_valid()) == n_total   # nothing dropped
+    assert int(m.state.overflow_dropped) == 0
