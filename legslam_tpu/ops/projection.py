@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from legslam_tpu.config import (
@@ -63,8 +64,12 @@ def _cov3d_cols(scales: jnp.ndarray, quats: jnp.ndarray,
     (xx, xy, xz, yy, yz, zz)."""
     w, qx, qy, qz = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
     # normalize columnar (the old quat_to_rotmat normalized inside; keep
-    # that contract even though render callers already normalize)
-    inv_n = 1.0 / jnp.sqrt(w * w + qx * qx + qy * qy + qz * qz).clip(1e-12)
+    # that contract even though render callers already normalize).
+    # maximum-before-rsqrt, not sqrt().clip(): the clip form leaks NaN
+    # GRADS at an exactly-zero quaternion (0-cotangent * d(sqrt)/dx|_0 =
+    # 0 * inf) — same fix as utils/sh.py sh_to_color
+    inv_n = jax.lax.rsqrt(
+        jnp.maximum(w * w + qx * qx + qy * qy + qz * qz, 1e-24))
     w, qx, qy, qz = w * inv_n, qx * inv_n, qy * inv_n, qz * inv_n
     sx = scales[:, 0] * scale_modifier
     sy = scales[:, 1] * scale_modifier

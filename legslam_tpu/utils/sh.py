@@ -12,6 +12,7 @@ backward can zero gradients exactly like the reference (forward.cu:66-70).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from legslam_tpu.config import SH_C0, SH_C1, SH_C2, SH_C3
@@ -120,6 +121,13 @@ def sh_to_color(deg: int, sh: jnp.ndarray, means: jnp.ndarray,
     backward.cu:52-54).
     """
     d = means - campos
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
+    # guarded rsqrt, NOT norm().clip(): clip keeps the VALUE finite but
+    # the grad chain still evaluates d(sqrt)/dx at 0 (= inf), and
+    # 0-cotangent * inf = NaN — which poisons the xyz grads of PADDED
+    # capacity slots (means == campos == 0) through any downstream
+    # masking. maximum() routes the zero branch around the singularity,
+    # so grads stay finite; values are identical down to ||d|| = 1e-12.
+    n2 = jnp.sum(d * d, axis=-1, keepdims=True)
+    d = d * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
     rgb = eval_sh(deg, sh, d) + 0.5
     return jnp.maximum(rgb, 0.0)
