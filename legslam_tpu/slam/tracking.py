@@ -2197,7 +2197,16 @@ def _place_score(desc_q: np.ndarray, px_q: np.ndarray,
     incoherent shifts. Measured on synthetic aliased rooms (locally
     color-shuffled clone of the same geometry): true revisit ~0.2 vs
     aliased ~0.08 at the loop operating point — the discrimination
-    pooled peak-correlation lacks (clone peak_corr 0.47 vs true 0.51)."""
+    pooled peak-correlation lacks (clone peak_corr 0.47 vs true 0.51).
+
+    Rotation/viewpoint recall bound (pinned in
+    tests/test_place_recognition.py::test_rotated_revisit_refuses_safely):
+    the raw patches are NOT rotation-normalized (unlike ORB feeding DBoW2
+    in the reference) and the vote models a revisit as a 2D translation,
+    so recall extends to ~5 deg of in-plane rotation (score 0.19 vs the
+    0.12 threshold on the orbit fixture) and REFUSES beyond (~0.02 at
+    >= 15 deg, with the pooled-correlation gate independently rejecting
+    too). The failure mode is a missed loop, never a false one."""
     if len(desc_q) < 8 or len(desc_c) < 8:
         return 0.0
     S = desc_q @ desc_c.T
