@@ -20,6 +20,7 @@ grows.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import random
 import time
@@ -139,6 +140,7 @@ class GaussianMapper:
             spatial_strips == 1 and not shard_store
         self._approx_valid = 0
         self._base_max_pairs = self.cfg.max_pairs
+        self._pairs_floor = 0   # overflow-escalated max_pairs floor
         self.result_dir = result_dir
         self.max_per_tile = max_per_tile
         self.include_lang_feat = include_lang_feat
@@ -877,21 +879,86 @@ class GaussianMapper:
                         (aux.loss, aux.overflow_pairs, aux.num_rendered)))
             self.ema_loss = 0.6 * loss + 0.4 * self.ema_loss \
                 if self.iteration > 1 else loss
-            # overflow guardrail: the reference never drops pairs; warn
-            # when any static cap clips >0.1% so runs don't silently lose
-            # coverage/gradients (rasterizer_impl.cu sizes to num_rendered)
+            # overflow guardrail: the reference never drops pairs
+            # (rasterize_points.cu:29-35 resizes its buffers to
+            # num_rendered); when any static cap clips >0.1% the mapper
+            # ESCALATES that cap to the next rung (one-time re-jit, like
+            # the capacity ladder) and only warns once nothing is left to
+            # escalate
             dropped = int(dropped)
             rendered = max(int(rendered), 1)
             if dropped > 0 and dropped / rendered > 1e-3:
-                import warnings
-                warnings.warn(
-                    f"rasterizer pair overflow: {dropped} of {rendered} "
-                    f"pairs dropped at iter {self.iteration} — raise "
-                    "max_pairs/max_span/max_per_tile", RuntimeWarning)
+                self._respond_to_overflow(dropped, rendered)
         self.timings.append(time.perf_counter() - t0)
         self._post_step_densify()
         self._maybe_grow_capacity()
         return loss
+
+    def _respond_to_overflow(self, dropped: int, rendered: int) -> None:
+        """Adaptive response to pair overflow (the reference never drops
+        pairs — rasterize_points.cu:29-35 sizes every buffer to
+        num_rendered; our static-shape equivalent is a cap LADDER that
+        escalates on demand, one re-jit per rung, executables persisting
+        in the compilation cache like the capacity ladder's).
+
+        `rendered` is the PRE-truncation pair count, so the max_pairs
+        share of the drop is host-computable without extra device
+        traffic: trunc = rendered - max_pairs; the remainder was clipped
+        by the static tile-span cap. max_pairs escalates to ~2x the
+        observed footprint (pow2, bounded by the configured budget);
+        the span cap doubles its y rows first (tile_h=16 makes span_y
+        the binding axis for close-up footprints), then x, until the
+        span covers the whole tile grid. Only when nothing is left to
+        escalate does the old warning fire. Single-view path only (the
+        batched/spatial paths pin shapes at construction)."""
+        import dataclasses as _dc
+        escalatable = self.n_views == 1 and self.spatial_strips == 1
+        # the xla backend indexes full per-tile ranges (no max_pairs
+        # truncation; its third drop source is the per-tile cap instead)
+        flat_pallas = self.cfg.backend == "pallas" and \
+            getattr(self.cfg, "n_buckets", 1) == 1
+        trunc = max(0, rendered - self.cfg.max_pairs) if flat_pallas else 0
+        span_drop = dropped - trunc
+        changed = []
+        if escalatable and trunc > 0:
+            want = 1 << max(int(np.ceil(np.log2(max(2 * rendered, 2)))),
+                            16)
+            floor = min(want, self._base_max_pairs)
+            if floor > self._pairs_floor:
+                self._pairs_floor = floor
+                if floor > self.cfg.max_pairs:
+                    self.cfg = _dc.replace(self.cfg, max_pairs=floor)
+                    changed.append(f"max_pairs->{floor}")
+        if escalatable and span_drop / rendered > 1e-3:
+            msx, msy = self.cfg.max_span_x, self.cfg.max_span_y
+            nty = -(-int(self.intr["height"]) // self.cfg.tile_h)
+            ntx = -(-int(self.intr["width"]) // self.cfg.tile_w)
+            if msy < nty:
+                self.cfg = _dc.replace(self.cfg,
+                                       max_span_y=min(2 * msy, nty))
+                changed.append(f"max_span_y->{self.cfg.max_span_y}")
+            elif msx < ntx:
+                self.cfg = _dc.replace(self.cfg,
+                                       max_span_x=min(2 * msx, ntx))
+                changed.append(f"max_span_x->{self.cfg.max_span_x}")
+            elif not flat_pallas and self.max_per_tile < (1 << 16):
+                # span already covers the grid: on the xla backend the
+                # remaining clip is the per-tile cap
+                self.max_per_tile = min(2 * self.max_per_tile, 1 << 16)
+                changed.append(f"max_per_tile->{self.max_per_tile}")
+        if changed:
+            # cached binnings carry buffers shaped by the OLD caps
+            self._invalidate_binning()
+            logging.info(
+                "pair overflow (%d of %d at iter %d): escalated %s",
+                dropped, rendered, self.iteration, ", ".join(changed))
+        else:
+            import warnings
+            warnings.warn(
+                f"rasterizer pair overflow: {dropped} of {rendered} "
+                f"pairs dropped at iter {self.iteration} and no cap "
+                "rung left to escalate — raise max_pairs/max_span/"
+                "max_per_tile explicitly", RuntimeWarning)
 
     def _maybe_grow_capacity(self) -> None:
         if self.state is None or not self.capacity_ladder:
@@ -910,7 +977,8 @@ class GaussianMapper:
         for ~10k real pairs. 8 pairs/gaussian is ~3x the measured
         converged footprint (531k pairs @ 200k); overflow still warns."""
         import dataclasses as _dc
-        mp = min(self._base_max_pairs, max(1 << 16, 8 * cap))
+        mp = min(self._base_max_pairs,
+                 max(1 << 16, 8 * cap, self._pairs_floor))
         if mp != self.cfg.max_pairs:
             self.cfg = _dc.replace(self.cfg, max_pairs=mp)
 
