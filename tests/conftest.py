@@ -70,6 +70,28 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.smoke)
 
 
+# The full quick tier compiles many hundreds of XLA CPU executables in one
+# process; with round 4's suite growth that accumulation started
+# SEGFAULTING the interpreter inside XLA's backend_compile after ~228
+# tests (2/2 repro; every file passes in isolation). Bound the in-process
+# accumulation instead: drop every jit/pjit executable cache at file
+# boundaries every few files. Costs recompiles (the suite is
+# correctness-, not speed-critical); keeps the process state bounded no
+# matter how much the suite grows.
+_CLEAR_EVERY_FILES = 3
+_seen_files: list[str] = []
+
+
+def pytest_runtest_teardown(item, nextitem):
+    mod = item.nodeid.split("::")[0]
+    if not _seen_files or _seen_files[-1] != mod:
+        _seen_files.append(mod)
+        if len(_seen_files) % _CLEAR_EVERY_FILES == 0:
+            import gc
+            jax.clear_caches()
+            gc.collect()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -113,11 +113,17 @@ def main():
 
     def train(refresh: int, trim: bool):
         """Round-robin the views; per-view binning cache + kfin ratchet
-        exactly like mapper.train_iteration's policy."""
+        exactly like mapper.train_iteration's policy. Returns
+        (per-view final PSNR, loss trace) — the trace proves the
+        comparison measured a run that actually optimized."""
         s = st0
+        losses = []
         cache: dict = {}          # view -> [uses_left, binning]
         kfin_cache: dict = {}     # view -> [age, kfin]
+        aux = None
         for i in range(iters):
+            if i and i % 50 == 0 and aux is not None:
+                losses.append(round(float(aux.loss), 4))
             vi = i % n_views
             v, gt = views[vi], gts[vi]
             if refresh <= 1:
@@ -153,13 +159,22 @@ def main():
         for v, gt in zip(views, gts):
             _, aux = step(s, iters, v, gt)
             psnrs.append(float(aux.psnr))
-        return psnrs
+        return psnrs, losses
 
-    exact = train(refresh=1, trim=False)
-    fast = train(refresh=8, trim=True)
+    # initial-state per-view PSNR: proves the deltas below come from runs
+    # that actually optimized (not two copies of an untrained store)
+    psnr0 = []
+    for v, gt in zip(views, gts):
+        _, aux0 = step(st0, 0, v, gt)
+        psnr0.append(round(float(aux0.psnr), 3))
+    exact, exact_losses = train(refresh=1, trim=False)
+    fast, fast_losses = train(refresh=8, trim=True)
     result = {
         "scale": f"{width}x{height}, {n_points} gaussians, "
                  f"{n_views} views, {iters} iters, {cfg.backend}",
+        "psnr_initial": psnr0,
+        "loss_trace_exact": exact_losses,
+        "loss_trace_fast": fast_losses,
         "psnr_exact_refresh1": [round(p, 3) for p in exact],
         "psnr_refresh8_trim": [round(p, 3) for p in fast],
         "mean_exact": round(float(np.mean(exact)), 3),
