@@ -50,17 +50,27 @@ _BASE_FLAGS = ["-O3"]
 
 
 def _build(src: str, out: str) -> bool:
+    # compile and link SEPARATELY: passing -ffast-math at link time pulls
+    # in crtfastmath.o, whose constructor flips the process-wide FTZ/DAZ
+    # bits when the .so is dlopen'd — silently changing subnormal
+    # behavior for numpy/XLA in the host process. Compile-only fast
+    # flags keep the vectorization without touching global FP state.
+    obj = out + ".o"
     for flags in (_FAST_FLAGS, _BASE_FLAGS):
-        cmd = ["g++", *flags, "-shared", "-fPIC", "-std=c++17", src,
-               "-o", out]
         try:
-            subprocess.run(cmd, check=True, capture_output=True,
-                           timeout=120)
+            subprocess.run(["g++", *flags, "-c", "-fPIC", "-std=c++17",
+                            src, "-o", obj],
+                           check=True, capture_output=True, timeout=120)
+            subprocess.run(["g++", "-shared", obj, "-o", out],
+                           check=True, capture_output=True, timeout=120)
             with open(out + ".flags", "w") as f:
                 f.write(" ".join(flags))
             return True
         except Exception:
             continue
+        finally:
+            if os.path.exists(obj):
+                os.remove(obj)
     return False
 
 

