@@ -141,6 +141,10 @@ class GaussianMapper:
         self._approx_valid = 0
         self._base_max_pairs = self.cfg.max_pairs
         self._pairs_floor = 0   # overflow-escalated max_pairs floor
+        # (iteration, [changes]) log of overflow-ladder escalations —
+        # observability for benches/tools (logging.info alone is
+        # invisible under default logger config)
+        self.overflow_escalations: list[tuple[int, list[str]]] = []
         self.result_dir = result_dir
         self.max_per_tile = max_per_tile
         self.include_lang_feat = include_lang_feat
@@ -949,6 +953,7 @@ class GaussianMapper:
         if changed:
             # cached binnings carry buffers shaped by the OLD caps
             self._invalidate_binning()
+            self.overflow_escalations.append((self.iteration, changed))
             logging.info(
                 "pair overflow (%d of %d at iter %d): escalated %s",
                 dropped, rendered, self.iteration, ", ".join(changed))

@@ -86,6 +86,8 @@ def test_unit_span_ladder_then_warn(tmp_path):
             m._respond_to_overflow(dropped=100, rendered=1000)
             seen.append((m.cfg.max_span_x, m.cfg.max_span_y))
     assert seen == [(1, 4), (1, 6), (2, 6)], seen
+    assert [i for i, _ in m.overflow_escalations] == [0, 0, 0]
+    assert len(m.overflow_escalations) == 3   # observability log
     # grid fully covered (2 x 6): nothing left -> the warning fires
     with pytest.warns(RuntimeWarning, match="no cap rung left"):
         m._respond_to_overflow(dropped=100, rendered=1000)
@@ -108,8 +110,9 @@ def test_unit_xla_per_tile_rung(tmp_path):
 def test_loop_escalates_to_exact(tmp_path):
     """Genuine span overflow in the training loop: inflate every scale
     so footprints exceed the 1x2 span cap, then train through syncs —
-    the mapper must escalate to grid coverage and end warning-free with
-    zero drops (clamped rects cannot clip once the span = the grid)."""
+    the mapper must escalate (warning-free) until drops fall under the
+    0.1% guardrail. The ladder stops at the first sufficient rung, NOT
+    at full grid coverage — escalation is demand-driven."""
     import jax.numpy as jnp
     cfg = RasterizeConfig(tile_h=16, tile_w=128, max_span_x=1,
                           max_span_y=2, chunk=64, tile_batch=4,
@@ -126,8 +129,9 @@ def test_loop_escalates_to_exact(tmp_path):
         warnings.simplefilter("error", RuntimeWarning)
         for _ in range(40):
             m.train_iteration()
-    assert (m.cfg.max_span_x, m.cfg.max_span_y) == (2, 6), m.cfg
-    # the post-escalation state is exact: drops below the 0.1% guardrail
+    # the ladder moved (initial caps could not hold these footprints) ...
+    assert m.cfg.max_span_y > 2, m.cfg
+    # ... and stopped at a rung where drops are under the 0.1% guardrail
     _, dropped, rendered, _ = np.asarray(m._last_aux.sync3)
     assert rendered > 0
     assert dropped / max(rendered, 1) <= 1e-3, (dropped, rendered)
