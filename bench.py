@@ -227,33 +227,60 @@ def _system_variant(width, height, n_points, cfg, refresh, smoke,
 
     # Windowed pipelining: the reference hides mapping behind a thread
     # (examples/replica_rgbd.cpp:122); the TPU-native equivalent is
-    # asynchronous dispatch with BOUNDED lag — each frame fetches the
-    # loss of the step dispatched `window` frames ago, so the loop can
-    # never report faster than the device sustains (the fetch throttles
-    # as soon as mapping falls behind by `window` iterations), yet host
-    # tracking and device mapping overlap as they would in production.
-    # Per-frame times include each frame's throttle fetch; the median
-    # resists the tunnel's intermittent multi-second stalls. A value
-    # fetch (not block_until_ready) forces the queued chain — the
-    # executable's outputs materialize atomically, and axon's
-    # block_until_ready both fails to force execution and adds a
-    # pathological ~100 ms stall (measured).
-    window = 6
+    # asynchronous dispatch with BOUNDED lag — a FETCHER THREAD forces
+    # each step's loss (a value fetch, not block_until_ready: axon's
+    # block_until_ready fails to force execution), and the main loop
+    # blocks whenever more than `window` steps are still unfetched, so
+    # it can never report faster than the device + fetch pipeline
+    # sustains. The thread mirrors the reference's mapper thread: the
+    # ~30 ms tunnel round trip per fetch (measured 2026-08-21; it was
+    # ~19 ms in earlier rounds) overlaps host tracking instead of
+    # sitting on the critical path — the fetch RPC releases the GIL.
+    # All device DISPATCH stays on the main thread; the thread only
+    # forces ready values. Per-frame times include any throttle wait;
+    # the median resists the tunnel's intermittent multi-second stalls.
+    import threading
     from collections import deque
+    window = 6
     inflight: deque = deque()
+    cv = threading.Condition()
+    stop = False
+    fetch_err: list = []
+
+    def _fetcher():
+        while True:
+            with cv:
+                while not inflight and not stop:
+                    cv.wait()
+                if not inflight and stop:
+                    return
+                item = inflight.popleft()
+                cv.notify_all()
+            try:
+                float(item)        # blocking RPC outside the lock
+            except Exception as e:  # surface in the main thread
+                fetch_err.append(e)
+                return
+
+    th = threading.Thread(target=_fetcher, daemon=True)
+    th.start()
     times = []
     for f in frames[warm:]:
         t0 = time.perf_counter()
         frame_work(f)
         if mapper._last_aux is not None:
-            inflight.append(mapper._last_aux.loss)
-        if len(inflight) > window:
-            float(inflight.popleft())
+            with cv:
+                inflight.append(mapper._last_aux.loss)
+                cv.notify_all()
+                while len(inflight) > window and not fetch_err:
+                    cv.wait(timeout=1.0)
         times.append(time.perf_counter() - t0)
-    # drain the in-flight tail (bounded: <= window steps by construction,
-    # and the per-frame throttle already charges device-bound frames)
-    while inflight:
-        float(inflight.popleft())
+    with cv:
+        stop = True
+        cv.notify_all()
+    th.join(timeout=600)
+    if fetch_err:
+        raise fetch_err[0]
     times.sort()
     dt = times[len(times) // 2]
 
